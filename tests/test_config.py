@@ -1,0 +1,32 @@
+import os
+
+from dex_tts_tpu.utils import Config, DotDict, load_config
+
+
+def test_dotdict_access_and_nesting():
+    d = DotDict({"a": 1, "b": {"c": [1, {"d": 2}]}})
+    assert d.a == 1
+    assert d.b.c[1].d == 2
+    d.b.e = {"f": 3}
+    assert d.b.e.f == 3
+
+
+def test_deep_update():
+    d = DotDict({"model": {"dim": 64, "heads": 2}, "lr": 1e-4})
+    d.deep_update({"model": {"dim": 128}, "tag": "x"})
+    assert d.model.dim == 128
+    assert d.model.heads == 2
+    assert d.tag == "x"
+
+
+def test_config_yaml_roundtrip(tmp_path):
+    path = os.path.join(tmp_path, "c.yaml")
+    with open(path, "w") as f:
+        f.write("model:\n  dim: 64\ntrain:\n  lr: 0.0001\n")
+    cfg = load_config(path, overrides={"train": {"lr": 0.001}})
+    assert cfg.model.dim == 64
+    assert cfg.train.lr == 0.001
+    out = os.path.join(tmp_path, "out.yaml")
+    cfg.dump(out)
+    cfg2 = Config(out)
+    assert cfg2.to_dict() == cfg.to_dict()

@@ -1,0 +1,126 @@
+import io
+
+from dex_tts_tpu.text import (
+    BLANK_ID,
+    N_VOCAB,
+    CMUDict,
+    sequence_to_text,
+    symbols,
+    text_to_sequence,
+)
+from dex_tts_tpu.text.cleaners import english_cleaners
+from dex_tts_tpu.text.numbers import (
+    normalize_numbers,
+    number_to_words,
+    ordinal_to_words,
+    year_to_words,
+)
+from dex_tts_tpu.text.symbols import SYMBOL_TO_ID
+from dex_tts_tpu.utils import intersperse
+
+
+def test_symbol_inventory():
+    # 1 pad + 1 special + 10 punct + 52 letters + 84 arpabet = 148
+    assert len(symbols) == 148
+    assert symbols[0] == "_"
+    assert symbols[1] == "-"
+    assert "@AA1" in symbols
+    assert BLANK_ID == 148
+    assert N_VOCAB == 149
+    assert len(set(symbols)) == len(symbols)
+
+
+def test_number_to_words():
+    assert number_to_words(0) == "zero"
+    assert number_to_words(7) == "seven"
+    assert number_to_words(15) == "fifteen"
+    assert number_to_words(42) == "forty-two"
+    assert number_to_words(100) == "one hundred"
+    assert number_to_words(123) == "one hundred twenty-three"
+    assert number_to_words(123, andword="and") == "one hundred and twenty-three"
+    assert number_to_words(1234) == "one thousand, two hundred thirty-four"
+    assert number_to_words(1000000) == "one million"
+
+
+def test_years_and_ordinals():
+    assert year_to_words(1985) == "nineteen eighty-five"
+    assert year_to_words(1907) == "nineteen oh seven"
+    assert year_to_words(1900) == "nineteen hundred"
+    assert ordinal_to_words(1) == "first"
+    assert ordinal_to_words(2) == "second"
+    assert ordinal_to_words(3) == "third"
+    assert ordinal_to_words(12) == "twelfth"
+    assert ordinal_to_words(20) == "twentieth"
+    assert ordinal_to_words(23) == "twenty-third"
+    assert ordinal_to_words(101) == "one hundred and first"
+
+
+def test_normalize_numbers():
+    # 1,234 is in the year range (1000, 3000) → two-digit groups,
+    # matching the reference's inflect group=2 path.
+    assert normalize_numbers("1,234 things") == "twelve thirty-four things"
+    assert normalize_numbers("3,456 things") == (
+        "three thousand, four hundred fifty-six things"
+    )
+    assert normalize_numbers("in 1985") == "in nineteen eighty-five"
+    assert normalize_numbers("in 2000") == "in two thousand"
+    assert normalize_numbers("in 2005") == "in two thousand five"
+    assert normalize_numbers("the 3rd day") == "the third day"
+    assert normalize_numbers("$5") == "5 dollars"
+    assert normalize_numbers("$1.50") == "1 dollar, 50 cents"
+    assert normalize_numbers("3.14") == "three point fourteen"
+
+
+def test_english_cleaners():
+    assert english_cleaners("Dr.  Smith   lives at   No 5") == (
+        "doctor smith lives at no five"
+    )
+    assert english_cleaners("Café") == "cafe"
+    assert english_cleaners("Mr. Jones, 2nd") == "mister jones, second"
+
+
+def test_text_to_sequence_chars():
+    seq = text_to_sequence("hi!")
+    assert seq == [SYMBOL_TO_ID["h"], SYMBOL_TO_ID["i"], SYMBOL_TO_ID["!"]]
+    assert sequence_to_text(seq) == "hi!"
+
+
+def test_text_to_sequence_arpabet_passthrough():
+    seq = text_to_sequence("{HH AY1}!")
+    assert seq == [SYMBOL_TO_ID["@HH"], SYMBOL_TO_ID["@AY1"], SYMBOL_TO_ID["!"]]
+
+
+def test_text_to_sequence_with_dictionary():
+    fake = io.StringIO("HELLO  HH AH0 L OW1\nWORLD  W ER1 L D\n")
+    d = CMUDict(fake)
+    assert len(d) == 2
+    assert d.lookup("hello") == ["HH AH0 L OW1"]
+    seq = text_to_sequence("hello world", dictionary=d)
+    expected = (
+        [SYMBOL_TO_ID[s] for s in ("@HH", "@AH0", "@L", "@OW1")]
+        + [SYMBOL_TO_ID[" "]]
+        + [SYMBOL_TO_ID[s] for s in ("@W", "@ER1", "@L", "@D")]
+    )
+    assert seq == expected  # no trailing space
+
+
+def test_text_to_sequence_oov_falls_back_to_chars():
+    fake = io.StringIO("HELLO  HH AH0 L OW1\n")
+    d = CMUDict(fake)
+    seq = text_to_sequence("hello zzqy", dictionary=d)
+    tail = [SYMBOL_TO_ID[c] for c in "zzqy"]
+    assert seq[-4:] == tail
+
+
+def test_cmudict_alternates_and_invalid():
+    fake = io.StringIO(
+        "READ  R EH1 D\nREAD(1)  R IY1 D\nBAD  B AD1 D\n;;; comment\n"
+    )
+    d = CMUDict(fake)
+    assert d.lookup("read") == ["R EH1 D", "R IY1 D"]
+    assert d.lookup("bad") is None  # invalid phone rejected
+
+
+def test_intersperse():
+    assert intersperse([1, 2, 3], 0) == [0, 1, 0, 2, 0, 3, 0]
+    assert intersperse([], 9) == [9]
