@@ -66,8 +66,8 @@ def test_normalize_numbers():
     assert normalize_numbers("in 2000") == "in two thousand"
     assert normalize_numbers("in 2005") == "in two thousand five"
     assert normalize_numbers("the 3rd day") == "the third day"
-    assert normalize_numbers("$5") == "5 dollars"
-    assert normalize_numbers("$1.50") == "1 dollar, 50 cents"
+    assert normalize_numbers("$5") == "five dollars"
+    assert normalize_numbers("$1.50") == "one dollar, fifty cents"
     assert normalize_numbers("3.14") == "three point fourteen"
 
 
