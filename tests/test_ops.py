@@ -1,0 +1,147 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dex_tts_tpu.ops import (
+    duration_loss,
+    fix_len_compatibility,
+    generate_path,
+    maximum_path,
+    random_segment,
+    sequence_mask,
+)
+
+
+def oracle_maximum_path(value, t_x, t_y, max_neg=-1e9):
+    """Literal numpy transcription of the reference Cython DP recurrence
+    (independent oracle for the jittable kernel)."""
+    value = value.copy()
+    path = np.zeros_like(value, dtype=np.int32)
+    for y in range(t_y):
+        for x in range(max(0, t_x + y - t_y), min(t_x, y + 1)):
+            v_cur = max_neg if x == y else value[x, y - 1]
+            if x == 0:
+                v_prev = 0.0 if y == 0 else max_neg
+            else:
+                v_prev = value[x - 1, y - 1]
+            value[x, y] = max(v_cur, v_prev) + value[x, y]
+    index = t_x - 1
+    for y in range(t_y - 1, -1, -1):
+        path[index, y] = 1
+        if index != 0 and (
+            index == y or value[index, y - 1] < value[index - 1, y - 1]
+        ):
+            index -= 1
+    return path
+
+
+def make_batch(rng, shapes, t_x_max, t_y_max):
+    b = len(shapes)
+    value = rng.standard_normal((b, t_x_max, t_y_max)).astype(np.float32)
+    mask = np.zeros((b, t_x_max, t_y_max), np.float32)
+    for i, (tx, ty) in enumerate(shapes):
+        mask[i, :tx, :ty] = 1.0
+    return value, mask
+
+
+def test_maximum_path_matches_oracle():
+    rng = np.random.default_rng(0)
+    shapes = [(5, 12), (3, 3), (1, 7), (8, 20), (7, 8)]
+    value, mask = make_batch(rng, shapes, 8, 20)
+    path = np.asarray(maximum_path(jnp.asarray(value), jnp.asarray(mask)))
+    for i, (tx, ty) in enumerate(shapes):
+        expected = oracle_maximum_path(value[i, :tx, :ty] * 1.0, tx, ty)
+        np.testing.assert_array_equal(path[i, :tx, :ty], expected)
+        # nothing outside the mask
+        assert path[i, tx:, :].sum() == 0
+        assert path[i, :, ty:].sum() == 0
+
+
+def test_maximum_path_properties():
+    rng = np.random.default_rng(1)
+    shapes = [(4, 10), (6, 6)]
+    value, mask = make_batch(rng, shapes, 6, 10)
+    path = np.asarray(maximum_path(jnp.asarray(value), jnp.asarray(mask)))
+    for i, (tx, ty) in enumerate(shapes):
+        p = path[i, :tx, :ty]
+        # each frame assigned to exactly one token
+        np.testing.assert_array_equal(p.sum(axis=0), np.ones(ty))
+        # every token consumes >= 1 frame (tx <= ty), durations monotonic
+        assert (p.sum(axis=1) >= 1).all()
+        tokens = p.argmax(axis=0)
+        assert (np.diff(tokens) >= 0).all()
+
+
+def test_maximum_path_jit_and_grad_free():
+    value = jnp.asarray(np.random.default_rng(2).standard_normal((2, 4, 9)),
+                        dtype=jnp.float32)
+    mask = jnp.ones((2, 4, 9), jnp.float32)
+    jitted = jax.jit(maximum_path)
+    np.testing.assert_array_equal(
+        np.asarray(jitted(value, mask)), np.asarray(maximum_path(value, mask))
+    )
+
+
+def test_sequence_mask():
+    m = sequence_mask(jnp.asarray([2, 4]), 5)
+    np.testing.assert_array_equal(
+        np.asarray(m),
+        [[True, True, False, False, False], [True, True, True, True, False]],
+    )
+
+
+def test_fix_len_compatibility():
+    assert fix_len_compatibility(172) == 172
+    assert fix_len_compatibility(170) == 172
+    assert fix_len_compatibility(1) == 4
+    assert fix_len_compatibility(8, 3) == 8
+    assert fix_len_compatibility(9, 3) == 16
+
+
+def test_generate_path():
+    duration = jnp.asarray([[2.0, 1.0, 3.0]])
+    mask = jnp.ones((1, 3, 6), jnp.float32)
+    path = np.asarray(generate_path(duration, mask))
+    expected = np.array(
+        [
+            [1, 1, 0, 0, 0, 0],
+            [0, 0, 1, 0, 0, 0],
+            [0, 0, 0, 1, 1, 1],
+        ],
+        dtype=np.float32,
+    )
+    np.testing.assert_array_equal(path[0], expected)
+
+
+def test_generate_path_roundtrip_with_mas():
+    # durations recovered from a MAS path should regenerate the same path
+    rng = np.random.default_rng(3)
+    value, mask = make_batch(rng, [(4, 9)], 4, 9)
+    path = maximum_path(jnp.asarray(value), jnp.asarray(mask))
+    durations = jnp.sum(path, axis=-1)
+    regen = generate_path(durations, jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(regen), np.asarray(path))
+
+
+def test_duration_loss():
+    logw = jnp.asarray([[1.0, 2.0]])
+    logw_ = jnp.asarray([[1.5, 2.5]])
+    lengths = jnp.asarray([2])
+    assert np.isclose(float(duration_loss(logw, logw_, lengths)), 0.25)
+
+
+def test_random_segment():
+    key = jax.random.PRNGKey(0)
+    b, f, ty, out = 3, 4, 20, 8
+    y = jnp.arange(b * f * ty, dtype=jnp.float32).reshape(b, f, ty)
+    attn = jnp.ones((b, 5, ty), jnp.float32)
+    y_lengths = jnp.asarray([20, 6, 8])
+    y_cut, attn_cut, cut_lens, cut_mask = random_segment(key, y, attn, y_lengths, out)
+    assert y_cut.shape == (b, f, out)
+    assert attn_cut.shape == (b, 5, out)
+    np.testing.assert_array_equal(np.asarray(cut_lens), [8, 6, 8])
+    # short item: masked beyond its length
+    assert np.asarray(y_cut)[1, :, 6:].sum() == 0
+    # values are a contiguous window of the source
+    row = np.asarray(y_cut)[0, 0]
+    assert (np.diff(row) == 1).all()
