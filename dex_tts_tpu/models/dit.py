@@ -1,0 +1,234 @@
+"""DiT middle block of the U-Net denoiser.
+
+MaskDiT-derived transformer on overlapped 2-D patches of the U-Net mid
+feature map (reference: DEX-TTS/model/dit.py:31-519). Layout here is NHWC
+(XLA-native); tokens are row-major (freq-major, time-minor) to match the
+reference's BCHW flatten order so attention sees identical token sequences.
+
+Components:
+  PatchEmbed2D   — depthwise conv(k=patch, s=stride, SAME-ish pad) → SiLU →
+                   1x1 conv (reference: dit.py:31-70)
+  conv time pos  — grouped conv k=conv_pos, GELU, mean over freq
+                   (reference: dit.py:75-90,444-447)
+  freq pos embed — learned (1, grid_h, 1, D) zeros-init (reference: dit.py:366)
+  DiTBlock       — adaLN-Zero: 6-way shift/scale/gate from the timestep
+                   embedding (reference: dit.py:262-284)
+  FinalLayer     — adaLN + zero-init linear to stride²·C (reference: dit.py:308-326)
+  MAE-style token masking for mask_ratio > 0 (reference: dit.py:139-212)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dex_tts_tpu.models.layers import TimestepEmbedder
+
+
+@dataclass(frozen=True)
+class DiTConfig:
+    """reference: DEX-TTS/config/VCTK/base.yaml:71-84 (DEX: patch 3/stride 2)
+    and GeDEX-TTS/config/LJSpeech/base.yaml:49-62 (patch 7/stride 4)."""
+
+    in_channels: int = 128  # set to the U-Net mid dim by the denoiser
+    patch_size: int = 3
+    stride_size: int = 2
+    overlap: bool = True
+    hidden_size: int = 256
+    depth: int = 4
+    num_heads: int = 2
+    mlp_ratio: float = 2.0
+    conv_pos: int = 16
+    conv_pos_groups: int = 8
+    mask_type: str = "random"
+    grid_h: int = 20  # input freq bins // stride
+
+
+def modulate(x, shift, scale):
+    """reference: DEX-TTS/model/dit.py:72-73."""
+    return x * (1 + scale[:, None, :]) + shift[:, None, :]
+
+
+class PatchEmbed2D(nn.Module):
+    """Overlapped patch embedding. x: (B, H, W, C) → (B, H', W', D)."""
+
+    cfg: DiTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        p, s = cfg.patch_size, cfg.stride_size
+        pad = p // 2 if cfg.overlap else 0
+        stride = s if cfg.overlap else p
+        x = nn.Conv(
+            features=x.shape[-1],
+            kernel_size=(p, p),
+            strides=(stride, stride),
+            padding=[(pad, pad), (pad, pad)],
+            feature_group_count=x.shape[-1],
+            name="dw_conv",
+        )(x)
+        x = nn.silu(x)
+        return nn.Conv(cfg.hidden_size, kernel_size=(1, 1), name="pw_conv")(x)
+
+
+class ConvTimePosEmbed(nn.Module):
+    """Grouped-conv relative position over time, averaged across freq.
+    reference: DEX-TTS/model/dit.py:75-90 (make_conv_pos + SamePad)."""
+
+    cfg: DiTConfig
+
+    @nn.compact
+    def __call__(self, x):  # (B, H', W', D)
+        k = self.cfg.conv_pos
+        # torch pads k//2 both sides then trims one trailing element per dim
+        # for even k (SamePad) — same as asymmetric (k//2, k//2 - 1) padding.
+        trim = 1 if k % 2 == 0 else 0
+        conv = nn.Conv(
+            features=self.cfg.hidden_size,
+            kernel_size=(k, k),
+            padding=[(k // 2, k // 2 - trim), (k // 2, k // 2 - trim)],
+            feature_group_count=self.cfg.conv_pos_groups,
+            name="pos_conv",
+        )
+        pos = nn.gelu(conv(x), approximate=False)
+        return jnp.mean(pos, axis=1, keepdims=True)  # mean over freq
+
+
+class DiTBlock(nn.Module):
+    """adaLN-Zero transformer block; attention is timm-style MHSA with qkv
+    bias. reference: DEX-TTS/model/dit.py:262-284."""
+
+    cfg: DiTConfig
+
+    @nn.compact
+    def __call__(self, x, c):
+        cfg = self.cfg
+        mod = nn.Dense(
+            6 * cfg.hidden_size,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="adaLN_modulation",
+        )(nn.silu(c))
+        (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp) = jnp.split(
+            mod, 6, axis=-1
+        )
+
+        h = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)(x)
+        h = modulate(h, shift_msa, scale_msa)
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=cfg.num_heads,
+            qkv_features=cfg.hidden_size,
+            use_bias=True,
+            name="attn",
+        )(h, h)
+        x = x + gate_msa[:, None, :] * attn
+
+        h = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)(x)
+        h = modulate(h, shift_mlp, scale_mlp)
+        h = nn.Dense(int(cfg.hidden_size * cfg.mlp_ratio), name="mlp_fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(cfg.hidden_size, name="mlp_fc2")(h)
+        return x + gate_mlp[:, None, :] * h
+
+
+class FinalLayer(nn.Module):
+    """adaLN + zero-init linear to stride²·C patches.
+    reference: DEX-TTS/model/dit.py:308-326,404-407."""
+
+    cfg: DiTConfig
+
+    @nn.compact
+    def __call__(self, x, c):
+        cfg = self.cfg
+        mod = nn.Dense(
+            2 * cfg.hidden_size,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="adaLN_modulation",
+        )(nn.silu(c))
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        x = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)(x)
+        x = modulate(x, shift, scale)
+        out_dim = cfg.stride_size**2 * cfg.in_channels
+        return nn.Dense(
+            out_dim,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="linear",
+        )(x)
+
+
+def token_mask(key, batch: int, length: int, mask_ratio: float):
+    """MAE-style random keep/restore index sets (static keep count).
+    reference: DEX-TTS/model/dit.py:139-157."""
+    len_keep = int(length * (1 - mask_ratio))
+    noise = jax.random.uniform(key, (batch, length))
+    ids_shuffle = jnp.argsort(noise, axis=1)
+    ids_restore = jnp.argsort(ids_shuffle, axis=1)
+    return ids_shuffle[:, :len_keep], ids_restore
+
+
+class DiT(nn.Module):
+    """The full middle block: patchify → pos embeds → blocks → final →
+    unpatchify → crop/mask. reference: DEX-TTS/model/dit.py:328-519."""
+
+    cfg: DiTConfig
+
+    @nn.compact
+    def __call__(self, x, mask, t, train: bool = False, mask_ratio: float = 0.0):
+        """x: (B, H, W, C) mid feature, mask: (B, 1, W, 1) binary,
+        t: (B,) noise-level embedding input (c_noise)."""
+        cfg = self.cfg
+        b, h_in, w_in, c_in = x.shape
+
+        # pad time axis to a multiple of patch_size (reference: dit.py:434-439)
+        p = cfg.patch_size
+        w_pad = (-w_in) % p
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, w_pad), (0, 0)))
+
+        x = PatchEmbed2D(cfg, name="x_embedder")(x)  # (B, H', W', D)
+        hp, wp = x.shape[1], x.shape[2]
+
+        t_emb = TimestepEmbedder(cfg.hidden_size, name="t_embedder")(t)
+
+        time_pos = ConvTimePosEmbed(cfg, name="time_pos")(x)
+        x = x + time_pos[:, :, : x.shape[2], :]
+        freq_pos = self.param(
+            "freq_pos_embed",
+            nn.initializers.zeros,
+            (1, cfg.grid_h, 1, cfg.hidden_size),
+        )
+        x = x + freq_pos
+        tokens = x.reshape(b, hp * wp, cfg.hidden_size)  # freq-major order
+
+        use_mask = train and mask_ratio > 0
+        if use_mask:
+            key = self.make_rng("dropout")
+            ids_keep, ids_restore = token_mask(key, b, hp * wp, mask_ratio)
+            tokens = jnp.take_along_axis(tokens, ids_keep[:, :, None], axis=1)
+
+        for i in range(cfg.depth):
+            tokens = DiTBlock(cfg, name=f"block_{i}")(tokens, t_emb)
+
+        if use_mask:
+            # re-insert zero tokens at masked positions (reference: dit.py:200-206)
+            n_masked = hp * wp - tokens.shape[1]
+            filler = jnp.zeros((b, n_masked, tokens.shape[2]), tokens.dtype)
+            tokens = jnp.concatenate([tokens, filler], axis=1)
+            tokens = jnp.take_along_axis(tokens, ids_restore[:, :, None], axis=1)
+
+        out = FinalLayer(cfg, name="final_layer")(tokens, t_emb)  # (B,N,s²C)
+
+        # unpatchify (reference: dit.py:452-457): tokens row-major over
+        # (grid_h, wp); each token is an (s, s, C) tile.
+        s = cfg.stride_size
+        out = out.reshape(b, cfg.grid_h, wp, s, s, c_in)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, cfg.grid_h * s, wp * s, c_in
+        )
+        out = out[:, :h_in, :w_in, :]
+        return out * mask

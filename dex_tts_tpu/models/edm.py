@@ -1,0 +1,329 @@
+"""EDM diffusion: loss weighting, preconditioning, and the generalized ODE
+sampler compiled as a single lax.scan.
+
+Behavioral equivalent of reference: DEX-TTS/model/edm.py:22-211 (NVIDIA EDM
+adapted to mel+prior). Distinctive detail kept: training noise is
+*mu-shifted* — n = (randn + mu)·σ (reference: model/edm.py:64) — so the
+terminal distribution is centered on the aligned text prior, and sampling
+starts from latents = randn/temperature + mu scaled by σ_max.
+
+TPU design: every schedule quantity (σ(t), s(t), derivatives, churn) is a
+host-precomputed numpy array of length num_steps; the sampling loop is a
+lax.scan whose body is one denoiser evaluation — 50 steps compile into one
+XLA program with no host sync.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# preconditioning
+
+
+def edm_precond_scalings(sigma, sigma_data: float = 0.5):
+    """c_skip, c_out, c_in, c_noise for EDM preconditioning.
+    reference: DEX-TTS/model/edm.py:88-98."""
+    c_skip = sigma_data**2 / (sigma**2 + sigma_data**2)
+    c_out = sigma * sigma_data / jnp.sqrt(sigma**2 + sigma_data**2)
+    c_in = 1.0 / jnp.sqrt(sigma_data**2 + sigma**2)
+    c_noise = jnp.log(sigma) / 4.0
+    return c_skip, c_out, c_in, c_noise
+
+
+def apply_precond(denoise_fn, x, sigma, sigma_data: float = 0.5, **kwargs):
+    """D(x; σ) = c_skip·x + c_out·F(c_in·x; c_noise).
+
+    denoise_fn(x, t, **kwargs) is the raw network; x: (B, n_feats, W);
+    sigma: (B,) per-item noise levels."""
+    s = sigma.reshape(-1, 1, 1)
+    c_skip, c_out, c_in, _ = edm_precond_scalings(s, sigma_data)
+    c_noise = jnp.log(sigma) / 4.0
+    f_x = denoise_fn(c_in * x, c_noise, **kwargs)
+    return c_skip * x + c_out * f_x
+
+
+# ---------------------------------------------------------------------------
+# training loss
+
+
+def edm_loss_weight(
+    sigma: jnp.ndarray,
+    loss_type: str = "base",
+    sigma_data: float = 0.5,
+) -> jnp.ndarray:
+    """Per-σ loss weight; all reference variants.
+    reference: DEX-TTS/model/edm.py:37-62."""
+    base = (sigma**2 + sigma_data**2) / (sigma * sigma_data) ** 2
+    snr = 1.0 / sigma**2
+    if loss_type == "base":
+        return base
+    if loss_type.startswith("base_min_"):
+        k = float(loss_type.removeprefix("base_min_"))
+        return jnp.minimum(base, k)
+    if loss_type.startswith("base_log_"):
+        k = float(loss_type.removeprefix("base_log_"))
+        return jnp.where(base >= k, jnp.log(base) + (k - np.log(k)), base)
+    if loss_type.startswith("min_snr_"):
+        k = float(loss_type.removeprefix("min_snr_"))
+        return jnp.minimum(snr, k)
+    if loss_type.startswith("max_snr_"):
+        k = float(loss_type.removeprefix("max_snr_"))
+        return jnp.maximum(snr, k)
+    if loss_type == "snr":
+        return snr
+    if loss_type == "inv_snr":
+        return 1.0 / snr
+    raise ValueError(f"unknown loss_type {loss_type!r}")
+
+
+def edm_loss(
+    key: jax.Array,
+    denoise_fn,
+    x0: jnp.ndarray,
+    mask: jnp.ndarray,
+    mu: jnp.ndarray,
+    n_feats: int = 80,
+    p_mean: float = -1.2,
+    p_std: float = 1.2,
+    sigma_data: float = 0.5,
+    loss_type: str = "base",
+    **kwargs,
+):
+    """EDM training loss with mu-shifted noise.
+    reference: DEX-TTS/model/edm.py:22-68."""
+    k_sigma, k_noise = jax.random.split(key)
+    b = x0.shape[0]
+    rnd = jax.random.normal(k_sigma, (b, 1, 1), x0.dtype)
+    sigma = jnp.exp(rnd * p_std + p_mean)
+    weight = edm_loss_weight(sigma, loss_type, sigma_data)
+
+    noise = (jax.random.normal(k_noise, x0.shape, x0.dtype) + mu) * sigma
+    d_x = apply_precond(
+        denoise_fn, x0 + noise, sigma[:, 0, 0], sigma_data, **kwargs
+    )
+    return jnp.sum(weight * (d_x - x0) ** 2) / (jnp.sum(mask) * n_feats)
+
+
+# ---------------------------------------------------------------------------
+# sampler schedules (host-side, static)
+
+
+@dataclass(frozen=True)
+class SamplerConfig:
+    """reference: DEX-TTS/model/edm.py:104-109 and call site
+    model/diffusion.py:245 (euler / edm discretization / linear schedule /
+    no scaling)."""
+
+    num_steps: int = 50
+    solver: str = "euler"  # euler | heun
+    discretization: str = "edm"  # vp | ve | iddpm | edm
+    schedule: str = "linear"  # vp | ve | linear
+    scaling: str = "none"  # vp | none
+    sigma_min: float | None = None
+    sigma_max: float | None = None
+    rho: float = 7.0
+    epsilon_s: float = 1e-3
+    c_1: float = 0.001
+    c_2: float = 0.008
+    m_steps: int = 1000
+    alpha: float = 1.0
+    s_churn: float = 0.0
+    s_min: float = 0.0
+    s_max: float = float("inf")
+    s_noise: float = 1.0
+
+
+def _schedule_fns(cfg: SamplerConfig, vp_beta_d: float, vp_beta_min: float):
+    if cfg.schedule == "vp":
+        sigma = lambda t: np.sqrt(
+            np.exp(0.5 * vp_beta_d * t**2 + vp_beta_min * t) - 1
+        )
+        sigma_deriv = lambda t: 0.5 * (vp_beta_min + vp_beta_d * t) * (
+            sigma(t) + 1 / sigma(t)
+        )
+        sigma_inv = lambda s: (
+            np.sqrt(vp_beta_min**2 + 2 * vp_beta_d * np.log(s**2 + 1))
+            - vp_beta_min
+        ) / vp_beta_d
+    elif cfg.schedule == "ve":
+        sigma = lambda t: np.sqrt(t)
+        sigma_deriv = lambda t: 0.5 / np.sqrt(t)
+        sigma_inv = lambda s: s**2
+    else:
+        sigma = lambda t: t
+        sigma_deriv = lambda t: np.ones_like(t)
+        sigma_inv = lambda s: s
+    if cfg.scaling == "vp":
+        s_fn = lambda t: 1 / np.sqrt(1 + sigma(t) ** 2)
+        s_deriv = lambda t: -sigma(t) * sigma_deriv(t) * s_fn(t) ** 3
+    else:
+        s_fn = lambda t: np.ones_like(np.asarray(t, dtype=np.float64))
+        s_deriv = lambda t: np.zeros_like(np.asarray(t, dtype=np.float64))
+    return sigma, sigma_deriv, sigma_inv, s_fn, s_deriv
+
+
+def build_schedule(cfg: SamplerConfig) -> dict[str, np.ndarray]:
+    """Precompute all per-step scalars of the generalized sampler.
+    reference: DEX-TTS/model/edm.py:110-180."""
+    n = cfg.num_steps
+    vp_sigma = lambda bd, bm: lambda t: np.sqrt(
+        np.exp(0.5 * bd * t**2 + bm * t) - 1
+    )
+
+    sigma_min, sigma_max = cfg.sigma_min, cfg.sigma_max
+    if sigma_min is None:
+        sigma_min = {
+            "vp": float(vp_sigma(19.9, 0.1)(cfg.epsilon_s)),
+            "ve": 0.02,
+            "iddpm": 0.002,
+            "edm": 0.002,
+        }[cfg.discretization]
+    if sigma_max is None:
+        sigma_max = {
+            "vp": float(vp_sigma(19.9, 0.1)(1.0)),
+            "ve": 100.0,
+            "iddpm": 81.0,
+            "edm": 80.0,
+        }[cfg.discretization]
+
+    vp_beta_d = (
+        2
+        * (np.log(sigma_min**2 + 1) / cfg.epsilon_s - np.log(sigma_max**2 + 1))
+        / (cfg.epsilon_s - 1)
+    )
+    vp_beta_min = np.log(sigma_max**2 + 1) - 0.5 * vp_beta_d
+
+    i = np.arange(n, dtype=np.float64)
+    if cfg.discretization == "vp":
+        orig_t = 1 + i / (n - 1) * (cfg.epsilon_s - 1)
+        sigma_steps = vp_sigma(vp_beta_d, vp_beta_min)(orig_t)
+    elif cfg.discretization == "ve":
+        orig_t = sigma_max**2 * (sigma_min**2 / sigma_max**2) ** (i / (n - 1))
+        sigma_steps = np.sqrt(orig_t)
+    elif cfg.discretization == "iddpm":
+        m = cfg.m_steps
+        u = np.zeros(m + 1)
+        alpha_bar = lambda j: np.sin(0.5 * np.pi * j / m / (cfg.c_2 + 1)) ** 2
+        for j in range(m, 0, -1):
+            u[j - 1] = np.sqrt(
+                (u[j] ** 2 + 1)
+                / max(alpha_bar(j - 1) / alpha_bar(j), cfg.c_1)
+                - 1
+            )
+        u_filtered = u[(u >= sigma_min) & (u <= sigma_max)]
+        idx = np.rint((len(u_filtered) - 1) / (n - 1) * i).astype(np.int64)
+        sigma_steps = u_filtered[idx]
+    else:
+        sigma_steps = (
+            sigma_max ** (1 / cfg.rho)
+            + i / (n - 1) * (sigma_min ** (1 / cfg.rho) - sigma_max ** (1 / cfg.rho))
+        ) ** cfg.rho
+
+    sigma, sigma_deriv, sigma_inv, s_fn, s_deriv = _schedule_fns(
+        cfg, vp_beta_d, vp_beta_min
+    )
+
+    t_steps = np.concatenate([sigma_inv(sigma_steps), [0.0]])  # (n+1,)
+    t_cur = t_steps[:-1]
+    t_next = t_steps[1:]
+
+    gamma = np.where(
+        (cfg.s_min <= sigma(t_cur)) & (sigma(t_cur) <= cfg.s_max),
+        min(cfg.s_churn / n, np.sqrt(2) - 1),
+        0.0,
+    )
+    t_hat = sigma_inv(sigma(t_cur) + gamma * sigma(t_cur))
+    churn_std = (
+        np.sqrt(np.maximum(sigma(t_hat) ** 2 - sigma(t_cur) ** 2, 0.0))
+        * s_fn(t_hat)
+        * cfg.s_noise
+    )
+
+    h = t_next - t_hat
+    t_prime = t_hat + cfg.alpha * h
+
+    def coeffs(t):
+        a = sigma_deriv(t) / sigma(t) + s_deriv(t) / s_fn(t)
+        b = sigma_deriv(t) * s_fn(t) / sigma(t)
+        return a, b
+
+    a_hat, b_hat = coeffs(t_hat)
+    a_pr, b_pr = coeffs(np.where(t_prime > 0, t_prime, 1.0))  # guard t=0
+
+    f32 = lambda x: np.asarray(x, np.float32)
+    return {
+        "x_init_scale": f32(sigma(t_steps[0]) * s_fn(t_steps[0])),
+        "ratio_s": f32(s_fn(t_hat) / s_fn(t_cur)),
+        "churn_std": f32(churn_std),
+        "inv_s_hat": f32(1.0 / s_fn(t_hat)),
+        "sigma_hat": f32(sigma(t_hat)),
+        "a_hat": f32(a_hat),
+        "b_hat": f32(b_hat),
+        "h": f32(h),
+        "alpha_h": f32(cfg.alpha * h),
+        "inv_s_prime": f32(1.0 / s_fn(np.where(t_prime > 0, t_prime, 1.0))),
+        "sigma_prime": f32(sigma(np.where(t_prime > 0, t_prime, 1.0))),
+        "a_prime": f32(a_pr),
+        "b_prime": f32(b_pr),
+        "last_step": np.arange(n) == n - 1,
+    }
+
+
+def ablation_sampler(
+    key: jax.Array,
+    denoise_fn,
+    latents: jnp.ndarray,
+    cfg: SamplerConfig,
+    sigma_data: float = 0.5,
+    **cond,
+):
+    """Generalized ODE sampler as one lax.scan.
+    reference: DEX-TTS/model/edm.py:104-211.
+
+    denoise_fn(x, t, **cond) is the raw network (preconditioning applied
+    here); latents: (B, n_feats, W) ~ N(mu, 1/temperature²) at the facade.
+    """
+    sched = {k: jnp.asarray(v) for k, v in build_schedule(cfg).items()}
+    b = latents.shape[0]
+    heun = cfg.solver == "heun"
+
+    def denoised_at(x, sigma_scalar):
+        sigma_b = jnp.full((b,), sigma_scalar, latents.dtype)
+        return apply_precond(denoise_fn, x, sigma_b, sigma_data, **cond)
+
+    def step(carry, per_step):
+        x, key = carry
+        key, sub = jax.random.split(key)
+        # churn (no-op when s_churn == 0)
+        x_hat = per_step["ratio_s"] * x + per_step["churn_std"] * (
+            jax.random.normal(sub, x.shape, x.dtype)
+        )
+        den = denoised_at(x_hat * per_step["inv_s_hat"], per_step["sigma_hat"])
+        d_cur = per_step["a_hat"] * x_hat - per_step["b_hat"] * den
+        x_euler = x_hat + per_step["h"] * d_cur
+
+        if heun:
+            x_prime = x_hat + per_step["alpha_h"] * d_cur
+            den2 = denoised_at(
+                x_prime * per_step["inv_s_prime"], per_step["sigma_prime"]
+            )
+            d_prime = per_step["a_prime"] * x_prime - per_step["b_prime"] * den2
+            x_heun = x_hat + per_step["h"] * (
+                (1 - 1 / (2 * cfg.alpha)) * d_cur
+                + (1 / (2 * cfg.alpha)) * d_prime
+            )
+            x_new = jnp.where(per_step["last_step"], x_euler, x_heun)
+        else:
+            x_new = x_euler
+        return (x_new, key), None
+
+    x0 = latents * sched["x_init_scale"]
+    per_step = {k: v for k, v in sched.items() if k != "x_init_scale"}
+    (x, _), _ = jax.lax.scan(step, (x0, key), per_step)
+    return x

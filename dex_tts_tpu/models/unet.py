@@ -1,0 +1,235 @@
+"""Grad-TTS-style 2-D U-Net denoiser with a DiT middle block.
+
+reference: DEX-TTS/model/diffusion.py:11-236 (style-adapted variant) and
+GeDEX-TTS/model/diffusion.py:16-207 (plain variant). Layout is NHWC:
+(B, mel_bins, frames, C); masks are (B, 1, W, 1).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from dex_tts_tpu.models.dit import DiT, DiTConfig
+from dex_tts_tpu.models.layers import SinusoidalPosEmb, mish
+from dex_tts_tpu.models.ref_encoder import TIVAdaptor, TVAdaptor
+from dex_tts_tpu.ops import sequence_mask
+
+
+class Block(nn.Module):
+    """conv3x3 → GroupNorm(8) → Mish, masked in/out.
+    reference: DEX-TTS/model/diffusion.py:44-53."""
+
+    dim_out: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, mask):
+        h = nn.Conv(self.dim_out, (3, 3), padding=[(1, 1), (1, 1)])(x * mask)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5)(h)
+        return mish(h) * mask
+
+
+class ResnetBlock(nn.Module):
+    """Two Blocks with a time-embedding shift between them + 1x1 residual.
+    reference: DEX-TTS/model/diffusion.py:56-74."""
+
+    dim_out: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, mask, time_emb):
+        h = Block(self.dim_out, self.groups, name="block1")(x, mask)
+        t = nn.Dense(self.dim_out, name="mlp")(mish(time_emb))
+        h = h + t[:, None, None, :]
+        h = Block(self.dim_out, self.groups, name="block2")(h, mask)
+        if x.shape[-1] != self.dim_out:
+            res = nn.Conv(self.dim_out, (1, 1), name="res_conv")(x * mask)
+        else:
+            res = x * mask
+        return h + res
+
+
+class LinearAttention(nn.Module):
+    """Efficient attention: k softmaxed over space, context = k·vᵀ, out =
+    contextᵀ·q. reference: DEX-TTS/model/diffusion.py:77-95."""
+
+    heads: int = 4
+    dim_head: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        hidden = self.heads * self.dim_head
+        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, name="to_qkv")(x)
+        qkv = qkv.reshape(b, h * w, 3, self.heads, self.dim_head)
+        q = qkv[:, :, 0].transpose(0, 2, 3, 1)  # (B, heads, d, n)
+        k = qkv[:, :, 1].transpose(0, 2, 3, 1)
+        v = qkv[:, :, 2].transpose(0, 2, 3, 1)
+        k = nn.softmax(k, axis=-1)
+        context = jnp.einsum(
+            "bhdn,bhen->bhde", k, v, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        out = jnp.einsum(
+            "bhde,bhdn->bhen", context, q, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        out = out.transpose(0, 3, 1, 2).reshape(b, h, w, hidden)
+        return nn.Conv(x.shape[-1], (1, 1), name="to_out")(out)
+
+
+class RezeroAttention(nn.Module):
+    """x + g·LinearAttention(x), g zero-init.
+    reference: DEX-TTS/model/diffusion.py:34-41,98-105."""
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.param("g", nn.initializers.zeros, (1,))
+        return x + LinearAttention(name="fn")(x) * g
+
+
+class Downsample(nn.Module):
+    """conv3x3 stride 2. reference: DEX-TTS/model/diffusion.py:25-31."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.dim, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+        )(x)
+
+
+class Upsample(nn.Module):
+    """ConvTranspose k=4 s=2 p=1 (exact 2x).
+    reference: DEX-TTS/model/diffusion.py:16-22."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        # torch ConvTranspose2d(k=4, s=2, p=1) ⇒ out = 2·in. flax explicit
+        # padding counts from the VALID transposed output, so torch's p maps
+        # to k-1-p = (2, 2) here (verified numerically against torch).
+        return nn.ConvTranspose(
+            self.dim,
+            (4, 4),
+            strides=(2, 2),
+            padding=[(2, 2), (2, 2)],
+            transpose_kernel=True,
+        )(x)
+
+
+class DiffusionDenoiser(nn.Module):
+    """U-Net: per-resolution [2×ResnetBlock + linear attention + down/up]
+    with a (style-adapted) DiT bottleneck.
+
+    use_style=True adds the TVAdaptor→TIVAdaptor bottleneck conditioning
+    (reference: DEX-TTS/model/diffusion.py:122-236); use_style=False with
+    n_spks>1 instead stacks a speaker channel onto the input
+    (reference: GeDEX-TTS/model/diffusion.py:168-175).
+    """
+
+    dim: int = 64
+    dim_mults: Sequence[int] = (1, 2)
+    groups: int = 8
+    n_feats: int = 80
+    pe_scale: float = 1000.0
+    dit_cfg: DiTConfig = None
+    use_style: bool = False
+    n_spks: int = 1
+    spk_emb_dim: int = 64
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        mask,
+        mu,
+        t,
+        ref=None,
+        sty=None,
+        sty_lengths=None,
+        spk=None,
+        train: bool = False,
+        mask_ratio: float = 0.0,
+    ):
+        """x, mu: (B, n_feats, W); mask: (B, 1, W); t: (B,) noise labels.
+
+        ref (DEX): tuple (means, stds) each (B, L_blocks, C_mid) — stacked
+        per-block stats of the TIV encoder skips.
+        sty (DEX): (B, Ts, C_mid·?) decoder style sequence (channels last).
+        spk (GeDEX): (B, spk_emb_dim) speaker embedding.
+        Returns (B, n_feats, W).
+        """
+        channels = [mu, x]
+        if not self.use_style and self.n_spks > 1:
+            s = nn.Dense(self.spk_emb_dim * 4, name="spk_fc1")(spk)
+            s = nn.Dense(self.n_feats, name="spk_fc2")(mish(s))
+            channels.append(jnp.repeat(s[:, :, None], x.shape[-1], axis=-1))
+        h = jnp.stack(channels, axis=-1)  # (B, H, W, C_in)
+        mask4 = mask[:, 0, :, None][:, None, :, :]  # (B, 1, W, 1)
+
+        t_init = SinusoidalPosEmb(self.dim)(t, scale=self.pe_scale)
+        t_unet = nn.Dense(self.dim * 4, name="time_fc1")(t_init)
+        t_unet = nn.Dense(self.dim, name="time_fc2")(mish(t_unet))
+
+        dims = [d * self.dim for d in self.dim_mults]
+        num_res = len(dims)
+
+        hiddens = []
+        masks = [mask4]
+        for i, dim_out in enumerate(dims):
+            is_last = i == num_res - 1
+            m = masks[-1]
+            h = ResnetBlock(dim_out, self.groups, name=f"down_{i}_res1")(
+                h, m, t_unet
+            )
+            h = ResnetBlock(dim_out, self.groups, name=f"down_{i}_res2")(
+                h, m, t_unet
+            )
+            h = RezeroAttention(name=f"down_{i}_attn")(h)
+            hiddens.append(h)
+            if not is_last:
+                h = Downsample(dim_out, name=f"down_{i}_downsample")(h * m)
+            else:
+                h = h * m
+            masks.append(m[:, :, ::2, :])
+
+        masks = masks[:-1]
+        mask_mid = masks[-1]
+
+        if self.use_style:
+            # time embeddings for the adaptors
+            # (reference: DEX-TTS/model/diffusion.py:200-203)
+            mid_dim = dims[-1]
+            t_adap = nn.Dense(self.dim, name="adap_fc1")(t_init)
+            t_adap = nn.Dense(mid_dim, name="adap_fc2")(mish(t_adap))
+            t_sty = nn.Dense(self.dim, name="adap_sty_fc1")(t_init)
+            t_sty = nn.Dense(mid_dim, name="adap_sty_fc2")(mish(t_sty))
+
+            sty_mask = sequence_mask(sty_lengths, sty.shape[1]).astype(h.dtype)
+            h = TVAdaptor(name="tv_adaptor")(
+                h, mask_mid, sty, sty_mask, t_sty[:, None, :]
+            )
+            h = TIVAdaptor(name="tiv_adaptor")(h, ref, t_adap[:, None, :])
+
+        h = DiT(self.dit_cfg, name="dit")(
+            h, mask_mid, t, train=train, mask_ratio=mask_ratio
+        )
+
+        for j, (dim_in, m) in enumerate(
+            zip(reversed(dims[:-1]), reversed(masks[1:]))
+        ):
+            h = jnp.concatenate([h, hiddens.pop()], axis=-1)
+            h = ResnetBlock(dim_in, self.groups, name=f"up_{j}_res1")(h, m, t_unet)
+            h = ResnetBlock(dim_in, self.groups, name=f"up_{j}_res2")(h, m, t_unet)
+            h = RezeroAttention(name=f"up_{j}_attn")(h)
+            h = Upsample(dim_in, name=f"up_{j}_upsample")(h * m)
+
+        # the first (unconsumed) skip pairs with the final blocks
+        h = Block(self.dim, self.groups, name="final_block")(h, mask4)
+        out = nn.Conv(1, (1, 1), name="final_conv")(h * mask4)
+        out = out * mask4
+        return out[:, :, :, 0]

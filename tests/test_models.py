@@ -1,0 +1,235 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dex_tts_tpu.models.dit import DiTConfig
+from dex_tts_tpu.models.edm import SamplerConfig
+from dex_tts_tpu.models.tts import DeXTTS, GeDEXTTS
+
+TINY_DIT = DiTConfig(
+    patch_size=3,
+    stride_size=2,
+    hidden_size=32,
+    depth=1,
+    num_heads=2,
+    mlp_ratio=2.0,
+    conv_pos=4,
+    conv_pos_groups=2,
+)
+
+
+def tiny_gedex(n_spks=1):
+    return GeDEXTTS(
+        n_vocab=149,
+        n_feats=16,
+        n_spks=n_spks,
+        spk_emb_dim=8,
+        enc_channels=24,
+        enc_filter_channels=32,
+        enc_filter_channels_dp=16,
+        enc_heads=2,
+        enc_layers=2,
+        dec_dim=8,
+        dec_dim_mults=(1, 2),
+        dit=TINY_DIT,
+    )
+
+
+def tiny_dex():
+    return DeXTTS(
+        n_vocab=149,
+        n_feats=16,
+        enc_channels=24,
+        enc_filter_channels=32,
+        enc_filter_channels_dp=16,
+        enc_heads=2,
+        enc_layers=2,
+        dec_dim=8,
+        dec_dim_mults=(1, 2),
+        dit=TINY_DIT,
+        tv_c_h=12,
+        tv_c_out=24,
+        tv_c_out_g=24,
+        tv_layers=2,
+        tv_n_emb=16,
+        lf0_c_h=12,
+        lf0_c_out=24,
+        lf0_c_out_g=24,
+        lf0_layers=1,
+        tiv_c_h=16,
+        tiv_c_out=8,
+        tiv_layers=2,
+    )
+
+
+def gedex_batch():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(1, 148, (2, 11)), jnp.int32)
+    x_lengths = jnp.asarray([11, 7], jnp.int32)
+    y = jnp.asarray(rng.standard_normal((2, 16, 36)), jnp.float32)
+    y_lengths = jnp.asarray([36, 20], jnp.int32)
+    return x, x_lengths, y, y_lengths
+
+
+def dex_style_inputs(rng):
+    ref = jnp.asarray(rng.standard_normal((2, 16, 24)), jnp.float32)
+    lf0 = jnp.asarray(rng.standard_normal((2, 24)), jnp.float32)
+    return {
+        "ref": ref,
+        "ref_lengths": jnp.asarray([24, 15], jnp.int32),
+        "sty": ref,
+        "sty_lengths": jnp.asarray([24, 15], jnp.int32),
+        "lf0": lf0,
+        "lf0_lengths": jnp.asarray([24, 15], jnp.int32),
+    }
+
+
+@pytest.fixture(scope="module")
+def gedex_vars():
+    model = tiny_gedex()
+    x, x_lengths, y, y_lengths = gedex_batch()
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jax.random.PRNGKey(2),
+        x,
+        x_lengths,
+        y,
+        y_lengths,
+        out_size=20,
+        train=False,
+        method=GeDEXTTS.compute_loss,
+    )
+    return model, variables
+
+
+def test_gedex_compute_loss(gedex_vars):
+    model, variables = gedex_vars
+    x, x_lengths, y, y_lengths = gedex_batch()
+    losses = model.apply(
+        variables,
+        jax.random.PRNGKey(3),
+        x,
+        x_lengths,
+        y,
+        y_lengths,
+        out_size=20,
+        train=True,
+        method=GeDEXTTS.compute_loss,
+        rngs={"dropout": jax.random.PRNGKey(4)},
+    )
+    assert set(losses) == {"dur_loss", "prior_loss", "diff_loss"}
+    for name, value in losses.items():
+        assert np.isfinite(float(value)), name
+
+
+def test_gedex_synthesize(gedex_vars):
+    model, variables = gedex_vars
+    x, x_lengths, *_ = gedex_batch()
+    enc, dec, attn, y_lengths = model.apply(
+        variables,
+        jax.random.PRNGKey(5),
+        x,
+        x_lengths,
+        y_max_length=64,
+        sampler=SamplerConfig(num_steps=3),
+        temperature=1.5,
+        method=GeDEXTTS.synthesize,
+    )
+    assert enc.shape == (2, 16, 64)
+    assert dec.shape == (2, 16, 64)
+    assert attn.shape == (2, 11, 64)
+    assert np.isfinite(np.asarray(dec)).all()
+    lens = np.asarray(y_lengths)
+    assert (lens >= 1).all() and (lens <= 64).all()
+    # masked frames are zero
+    d = np.asarray(dec)
+    assert np.abs(d[1, :, lens[1]:]).max() == 0
+
+
+def test_gedex_multispeaker():
+    model = tiny_gedex(n_spks=4)
+    x, x_lengths, y, y_lengths = gedex_batch()
+    spk = jnp.asarray([0, 3], jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jax.random.PRNGKey(2),
+        x,
+        x_lengths,
+        y,
+        y_lengths,
+        out_size=20,
+        spk=spk,
+        train=False,
+        method=GeDEXTTS.compute_loss,
+    )
+    losses = model.apply(
+        variables,
+        jax.random.PRNGKey(3),
+        x,
+        x_lengths,
+        y,
+        y_lengths,
+        out_size=20,
+        spk=spk,
+        train=False,
+        method=GeDEXTTS.compute_loss,
+    )
+    assert np.isfinite(float(sum(losses.values())))
+
+
+def test_dex_loss_and_synthesize():
+    model = tiny_dex()
+    rng = np.random.default_rng(1)
+    x, x_lengths, y, y_lengths = gedex_batch()
+    style = dex_style_inputs(rng)
+    init_rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(
+        init_rngs,
+        jax.random.PRNGKey(2),
+        x,
+        x_lengths,
+        y,
+        y_lengths,
+        out_size=20,
+        train=False,
+        **style,
+        method=DeXTTS.compute_loss,
+    )
+    assert "vq_stats" in variables and "batch_stats" in variables
+
+    losses, updates = model.apply(
+        variables,
+        jax.random.PRNGKey(3),
+        x,
+        x_lengths,
+        y,
+        y_lengths,
+        out_size=20,
+        train=True,
+        **style,
+        method=DeXTTS.compute_loss,
+        rngs={"dropout": jax.random.PRNGKey(4)},
+        mutable=["batch_stats", "vq_stats"],
+    )
+    assert set(losses) == {"dur_loss", "prior_loss", "diff_loss", "vq_loss"}
+    for name, value in losses.items():
+        assert np.isfinite(float(value)), name
+    # VQ EMA state actually moved
+    before = variables["vq_stats"]["tv_encoder"]["vq"]["ema_count"]
+    after = updates["vq_stats"]["tv_encoder"]["vq"]["ema_count"]
+    assert float(jnp.abs(after - before).max()) > 0
+
+    enc, dec, attn, _ = model.apply(
+        variables,
+        jax.random.PRNGKey(5),
+        x,
+        x_lengths,
+        y_max_length=64,
+        sampler=SamplerConfig(num_steps=2),
+        temperature=1.5,
+        **style,
+        method=DeXTTS.synthesize,
+    )
+    assert dec.shape == (2, 16, 64)
+    assert np.isfinite(np.asarray(dec)).all()
