@@ -1,0 +1,231 @@
+"""Training engine: jitted train/valid steps, EMA, checkpoints, epoch loop.
+
+Capability equivalent of reference: DEX-TTS/src/train.py:28-214 — Adam +
+grad clip, EMA weights, best-train/best-val/every-N/last checkpoints,
+plaintext epoch log — re-designed around a pure jitted step over an
+explicit TrainState. AMP GradScaler has no analogue here: bf16 on TPU
+needs no loss scaling.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dex_tts_tpu.train.checkpoint import CheckpointManager
+from dex_tts_tpu.train.state import TrainState
+
+BATCH_KEYS = (
+    "x",
+    "x_lengths",
+    "y",
+    "y_lengths",
+    "spk",
+    "ref",
+    "ref_lengths",
+    "sty",
+    "sty_lengths",
+    "lf0",
+    "lf0_lengths",
+)
+
+
+def _model_inputs(model, batch: dict) -> dict:
+    keys = set(BATCH_KEYS)
+    if not getattr(model, "use_style", False):
+        keys -= {"ref", "ref_lengths", "sty", "sty_lengths", "lf0", "lf0_lengths"}
+    if getattr(model, "n_spks", 1) <= 1:
+        keys -= {"spk"}
+    return {k: v for k, v in batch.items() if k in keys}
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    out_size: int | None = None,
+    ema_decay: float = 0.9999,
+    mask_ratio: float = 0.0,
+):
+    """Build the pure train step: (state, batch) → (state, metrics).
+
+    The loss optimized is the raw sum of the per-term losses
+    (reference: DEX-TTS/src/train.py:131-137,198 — the reference *displays*
+    the mean but steps on the sum).
+    """
+
+    def train_step(state: TrainState, batch: dict):
+        rng, k_loss, k_drop = jax.random.split(state.rng, 3)
+        inputs = _model_inputs(model, batch)
+
+        def loss_fn(params):
+            variables = {
+                "params": params,
+                "batch_stats": state.batch_stats,
+                "vq_stats": state.vq_stats,
+            }
+            losses, updates = model.apply(
+                variables,
+                k_loss,
+                train=True,
+                out_size=out_size,
+                mask_ratio=mask_ratio,
+                method=type(model).compute_loss,
+                rngs={"dropout": k_drop},
+                mutable=["batch_stats", "vq_stats"],
+                **inputs,
+            )
+            total = sum(losses.values())
+            return total, (losses, updates)
+
+        (total, (losses, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        param_updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, param_updates)
+        ema_params = optax.incremental_update(
+            params, state.ema_params, step_size=1.0 - ema_decay
+        )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            ema_params=ema_params,
+            opt_state=opt_state,
+            batch_stats=updates.get("batch_stats", state.batch_stats),
+            vq_stats=updates.get("vq_stats", state.vq_stats),
+            rng=rng,
+        )
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_valid_step(model, out_size: int | None = None):
+    """Validation losses (no dropout, no state update, fixed sub-rng)."""
+
+    def valid_step(state: TrainState, batch: dict, key: jax.Array):
+        inputs = _model_inputs(model, batch)
+        variables = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "vq_stats": state.vq_stats,
+        }
+        losses = model.apply(
+            variables,
+            key,
+            train=False,
+            out_size=out_size,
+            method=type(model).compute_loss,
+            **inputs,
+        )
+        losses["total_loss"] = sum(losses.values())
+        return losses
+
+    return valid_step
+
+
+class Trainer:
+    """Epoch loop with logging + checkpoint policies.
+
+    Checkpoints (reference: DEX-TTS/src/train.py:139-150): best-train,
+    best-val, every ``save_epoch``, and last (with optimizer for resume).
+    """
+
+    def __init__(
+        self,
+        model,
+        state: TrainState,
+        tx: optax.GradientTransformation,
+        exp_dir: str,
+        out_size: int | None = None,
+        ema_decay: float = 0.9999,
+        mask_ratio: float = 0.0,
+        save_epoch: int = 200,
+        syn_every: int = 0,
+        syn_fn: Callable | None = None,
+        jit: bool = True,
+        donate: bool = True,
+    ):
+        self.model = model
+        self.state = state
+        self.exp_dir = exp_dir
+        self.save_epoch = save_epoch
+        self.syn_every = syn_every
+        self.syn_fn = syn_fn
+        os.makedirs(exp_dir, exist_ok=True)
+        self.ckpt = CheckpointManager(os.path.join(exp_dir, "ckpt"))
+
+        step = make_train_step(model, tx, out_size, ema_decay, mask_ratio)
+        vstep = make_valid_step(model, out_size)
+        if jit:
+            step = jax.jit(step, donate_argnums=(0,) if donate else ())
+            vstep = jax.jit(vstep)
+        self.train_step = step
+        self.valid_step = vstep
+
+        self.best_train = float("inf")
+        self.best_val = float("inf")
+        self.log_path = os.path.join(exp_dir, "log.txt")
+
+    def log(self, msg: str):
+        print(msg, flush=True)
+        with open(self.log_path, "a") as f:
+            f.write(msg + "\n")
+
+    def run_epoch(self, loader: Iterable[dict], train: bool = True) -> dict:
+        sums, count = {}, 0
+        key = jax.random.PRNGKey(int(self.state.step))
+        for batch in loader:
+            batch = {k: v for k, v in batch.items() if not isinstance(v, str)}
+            if train:
+                self.state, metrics = self.train_step(self.state, batch)
+            else:
+                key, sub = jax.random.split(key)
+                metrics = self.valid_step(self.state, batch, sub)
+            count += 1
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        return {k: v / max(count, 1) for k, v in sums.items()}
+
+    def fit(
+        self,
+        train_loader_fn: Callable[[], Iterable[dict]],
+        valid_loader_fn: Callable[[], Iterable[dict]] | None = None,
+        epochs: int = 1,
+        start_epoch: int = 0,
+    ):
+        for epoch in range(start_epoch, epochs):
+            t0 = time.time()
+            train_metrics = self.run_epoch(train_loader_fn(), train=True)
+            line = f"epoch {epoch + 1} | " + " ".join(
+                f"{k}={v:.4f}" for k, v in sorted(train_metrics.items())
+            )
+            if valid_loader_fn is not None:
+                val_metrics = self.run_epoch(valid_loader_fn(), train=False)
+                line += " | val " + " ".join(
+                    f"{k}={v:.4f}" for k, v in sorted(val_metrics.items())
+                )
+                if val_metrics.get("total_loss", np.inf) < self.best_val:
+                    self.best_val = val_metrics["total_loss"]
+                    self.ckpt.save(self.state, "best-val")
+            line += f" | {time.time() - t0:.1f}s"
+            self.log(line)
+
+            if train_metrics.get("total_loss", np.inf) < self.best_train:
+                self.best_train = train_metrics["total_loss"]
+                self.ckpt.save(self.state, "best-train")
+            if self.save_epoch and (epoch + 1) % self.save_epoch == 0:
+                self.ckpt.save(self.state, f"epoch-{epoch + 1}")
+            self.ckpt.save(self.state, "last")
+
+            if self.syn_every and self.syn_fn and (epoch + 1) % self.syn_every == 0:
+                self.syn_fn(self.state, epoch + 1)
+        return self.state

@@ -1,0 +1,167 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dex_tts_tpu.data import BucketBatcher, TextMelDataset
+from dex_tts_tpu.models.dit import DiTConfig
+from dex_tts_tpu.models.tts import GeDEXTTS
+from dex_tts_tpu.parallel import (
+    make_mesh,
+    make_parallel_train_step,
+    replicate_state,
+    shard_batch,
+)
+from dex_tts_tpu.train import create_train_state, make_train_step
+from dex_tts_tpu.train.checkpoint import CheckpointManager
+from dex_tts_tpu.train.state import make_optimizer
+from dex_tts_tpu.train.trainer import make_valid_step
+
+TINY_DIT = DiTConfig(
+    patch_size=3, stride_size=2, hidden_size=32, depth=1, num_heads=2,
+    mlp_ratio=2.0, conv_pos=4, conv_pos_groups=2,
+)
+
+
+def tiny_model():
+    return GeDEXTTS(
+        n_vocab=149, n_feats=16, enc_channels=24, enc_filter_channels=32,
+        enc_filter_channels_dp=16, enc_heads=2, enc_layers=2, dec_dim=8,
+        dec_dim_mults=(1, 2), dit=TINY_DIT,
+    )
+
+
+def tiny_batch(b=4):
+    rng = np.random.default_rng(0)
+    return {
+        "x": rng.integers(1, 148, (b, 12)).astype(np.int32),
+        "x_lengths": np.full((b,), 12, np.int32),
+        "y": rng.standard_normal((b, 16, 32)).astype(np.float32),
+        "y_lengths": np.asarray(([32, 28, 20, 32] * 2)[:b], np.int32),
+    }
+
+
+@pytest.fixture(scope="module")
+def model_state():
+    model = tiny_model()
+    state, tx = create_train_state(model, tiny_batch(), out_size=16, lr=1e-3)
+    return model, state, tx
+
+
+def test_train_step_reduces_loss(model_state):
+    model, state, tx = model_state
+    step = jax.jit(make_train_step(model, tx, out_size=16, ema_decay=0.99))
+    batch = tiny_batch()
+    first = None
+    for _ in range(5):
+        state, metrics = step(state, batch)
+        if first is None:
+            first = float(metrics["total_loss"])
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert float(metrics["grad_norm"]) > 0
+    assert int(state.step) == 5
+    # EMA drifted away from the (frozen-at-init) copy
+    leaf = jax.tree.leaves(state.ema_params)[0]
+    assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_valid_step(model_state):
+    model, state, _ = model_state
+    vstep = jax.jit(make_valid_step(model, out_size=16))
+    losses = vstep(state, tiny_batch(), jax.random.PRNGKey(0))
+    assert np.isfinite(float(losses["total_loss"]))
+
+
+def test_checkpoint_roundtrip(model_state, tmp_path):
+    model, state, tx = model_state
+    mgr = CheckpointManager(os.path.join(tmp_path, "ckpt"))
+    mgr.save(state, "last")
+    assert mgr.exists("last")
+    restored = mgr.restore(state, "last")
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == int(state.step)
+
+
+def test_data_parallel_matches_single_device(model_state):
+    model, state, tx = model_state
+    assert jax.device_count() >= 8, "conftest should provide 8 CPU devices"
+    mesh = make_mesh(8)
+    step_fn = make_train_step(model, tx, out_size=16, ema_decay=0.99)
+
+    batch = tiny_batch(8)
+    # single device
+    s1, m1 = jax.jit(step_fn)(state, batch)
+    # 8-way dp
+    pstate = replicate_state(state, mesh)
+    pbatch = shard_batch(batch, mesh)
+    pstep = make_parallel_train_step(step_fn, mesh, donate=False)
+    s8, m8 = pstep(pstate, pbatch)
+
+    assert np.isclose(float(m1["total_loss"]), float(m8["total_loss"]), rtol=1e-4)
+    p1 = jax.tree.leaves(s1.params)[0]
+    p8 = jax.tree.leaves(s8.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-5)
+
+
+def make_fake_dataset(root, n_items=10, n_mels=16):
+    rng = np.random.default_rng(0)
+    mel_dir = os.path.join(root, "mel")
+    os.makedirs(mel_dir, exist_ok=True)
+    lines = []
+    texts = ["hello world", "the cat sat", "on a mat today", "ok then"]
+    for i in range(n_items):
+        t = 20 + int(rng.integers(0, 40))
+        mel = rng.standard_normal((t, n_mels)).astype(np.float32)
+        path = os.path.join(mel_dir, f"spk-mel-{i:03d}.npy")
+        np.save(path, mel)
+        lines.append(f"{path}|{texts[i % len(texts)]}|{i % 2}")
+    fl = os.path.join(root, "train.txt")
+    with open(fl, "w") as f:
+        f.write("\n".join(lines))
+    return fl
+
+
+def test_dataset_and_batcher(tmp_path):
+    fl = make_fake_dataset(str(tmp_path))
+    ds = TextMelDataset(fl)
+    assert len(ds) == 10
+    item = ds[0]
+    assert item["y"].shape[0] == 16
+    assert item["x"].dtype == np.int32
+    # blank interspersed: odd length, blanks at even positions
+    assert item["x"][0] == 148 and len(item["x"]) % 2 == 1
+
+    batcher = BucketBatcher(ds, batch_size=4, x_quantum=8, y_quantum=16)
+    batches = list(batcher)
+    assert len(batches) == 2
+    for b in batches:
+        assert b["x"].shape[0] == 4
+        assert b["x"].shape[1] % 8 == 0
+        assert b["y"].shape[2] % 16 == 0 and b["y"].shape[2] % 4 == 0
+        assert (b["y_lengths"] <= b["y"].shape[2]).all()
+        # padding is zero beyond each item's length
+        i = int(np.argmin(b["y_lengths"]))
+        assert b["y"][i, :, b["y_lengths"][i]:].sum() == 0
+
+
+def test_dataset_style_loading(tmp_path):
+    fl = make_fake_dataset(str(tmp_path))
+    lf0_dir = os.path.join(str(tmp_path), "lf0")
+    os.makedirs(lf0_dir, exist_ok=True)
+    rng = np.random.default_rng(1)
+    for i in range(10):
+        mel = np.load(os.path.join(str(tmp_path), "mel", f"spk-mel-{i:03d}.npy"))
+        lf0 = rng.standard_normal(mel.shape[0]).astype(np.float32)
+        lf0[::4] = 0.0  # unvoiced frames
+        np.save(os.path.join(lf0_dir, f"spk-lf0-{i:03d}.npy"), lf0)
+    ds = TextMelDataset(fl, load_style=True)
+    item = ds[0]
+    assert set(item) >= {"x", "y", "ref", "sty", "lf0"}
+    voiced = item["lf0"] != 0
+    assert abs(item["lf0"][voiced].mean()) < 0.2  # normalized over voiced
+    batch = next(iter(BucketBatcher(ds, batch_size=4)))
+    assert batch["ref"].shape == batch["y"].shape
+    assert batch["lf0"].shape == (4, batch["y"].shape[2])
