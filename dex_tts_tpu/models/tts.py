@@ -130,6 +130,19 @@ class GeDEXTTS(nn.Module):
         """Text → (mu_x (B,Tx,F), logw (B,Tx,1), x_mask (B,Tx,1))."""
         return self.encoder(x, x_lengths, spk=self._spk_vec(spk), train=train)
 
+    def predict_durations(self, x, x_lengths, spk=None, **cond_inputs):
+        """Small graph for phase-1 duration estimation (host picks the
+        frame bucket from it). Runs the style encoders when present because
+        DEX conditions the text encoder on style (AdaLN)."""
+        if self.use_style:
+            cond = self._cond_from_inputs(train=False, **cond_inputs)
+            _, logw, x_mask = self.encoder(
+                x, x_lengths, sty=cond["sty_enc"], train=False
+            )
+        else:
+            _, logw, x_mask = self.encode(x, x_lengths, spk=spk)
+        return logw, x_mask
+
     def _denoise_kwargs(self, spk=None, **_):
         return {"spk": self._spk_vec(spk)}
 
@@ -182,7 +195,13 @@ class GeDEXTTS(nn.Module):
             jax.random.normal(k_latent, mu_y.shape, mu_y.dtype) / temperature
             + mu_y
         )
-        dec_out = ablation_sampler(k_sample, denoise_fn, latents, sampler)
+        if self.is_initializing():
+            # create decoder params eagerly — creating them inside the
+            # sampler's lax.scan body would leak tracers out of the scan
+            c_noise = jnp.zeros((x.shape[0],), mu_y.dtype)
+            dec_out = denoise_fn(latents, c_noise)
+        else:
+            dec_out = ablation_sampler(k_sample, denoise_fn, latents, sampler)
         return mu_y * mask3, dec_out * mask3, attn, y_lengths
 
     # -- training -----------------------------------------------------------

@@ -1,0 +1,106 @@
+"""HiFi-GAN generator (mel → waveform), inference-oriented.
+
+Behavioral equivalent of reference: DEX-TTS/hifigan/models.py:112-174 with
+arch config hifigan/config.json: conv_pre(80→512, k7) → 4× [leaky(0.1) →
+ConvTranspose1d ×(8,8,2,2)] each followed by the mean of 3 multi-dilation
+ResBlocks (k 3/7/11, d 1/3/5) → leaky(default 0.01) → conv_post → tanh.
+
+Weight norm is folded at checkpoint-conversion time (the reference calls
+remove_weight_norm() before inference — hifigan/models.py:166-173), so this
+module holds plain conv kernels. Layout NWC.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+LRELU_SLOPE = 0.1
+
+
+@dataclass(frozen=True)
+class HiFiGANConfig:
+    num_mels: int = 80
+    upsample_rates: tuple = (8, 8, 2, 2)
+    upsample_kernel_sizes: tuple = (16, 16, 4, 4)
+    upsample_initial_channel: int = 512
+    resblock_kernel_sizes: tuple = (3, 7, 11)
+    resblock_dilation_sizes: tuple = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+
+
+def _same_pad(kernel: int, dilation: int = 1) -> int:
+    return (kernel * dilation - dilation) // 2
+
+
+class ResBlock(nn.Module):
+    """3× [leaky → dilated conv → leaky → plain conv → +x].
+    reference: DEX-TTS/hifigan/models.py:20-108 (ResBlock1)."""
+
+    channels: int
+    kernel_size: int
+    dilations: tuple
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilations):
+            h = nn.leaky_relu(x, LRELU_SLOPE)
+            h = nn.Conv(
+                self.channels,
+                (self.kernel_size,),
+                kernel_dilation=(d,),
+                padding=[(_same_pad(self.kernel_size, d),) * 2],
+                name=f"conv1_{i}",
+            )(h)
+            h = nn.leaky_relu(h, LRELU_SLOPE)
+            h = nn.Conv(
+                self.channels,
+                (self.kernel_size,),
+                padding=[(_same_pad(self.kernel_size),) * 2],
+                name=f"conv2_{i}",
+            )(h)
+            x = x + h
+        return x
+
+
+class HiFiGANGenerator(nn.Module):
+    cfg: HiFiGANConfig = field(default_factory=HiFiGANConfig)
+
+    @nn.compact
+    def __call__(self, mel):
+        """mel: (B, num_mels, T) log-mel → waveform (B, T·256) in [-1, 1]."""
+        cfg = self.cfg
+        x = mel.swapaxes(1, 2)  # NWC
+        x = nn.Conv(
+            cfg.upsample_initial_channel, (7,), padding=[(3, 3)], name="conv_pre"
+        )(x)
+
+        for i, (u, k) in enumerate(
+            zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)
+        ):
+            ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            # torch ConvTranspose1d(k, u, padding=(k-u)//2) ⇒ out = u·in;
+            # flax explicit pad = k-1-(k-u)//2 (see unet.Upsample note)
+            p = k - 1 - (k - u) // 2
+            x = nn.ConvTranspose(
+                ch,
+                (k,),
+                strides=(u,),
+                padding=[(p, p)],
+                transpose_kernel=True,
+                name=f"up_{i}",
+            )(x)
+            acc = None
+            for j, (rk, rd) in enumerate(
+                zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+            ):
+                out = ResBlock(ch, rk, tuple(rd), name=f"resblock_{i}_{j}")(x)
+                acc = out if acc is None else acc + out
+            x = acc / len(cfg.resblock_kernel_sizes)
+
+        x = nn.leaky_relu(x)  # torch default slope 0.01 here (models.py:164)
+        x = nn.Conv(1, (7,), padding=[(3, 3)], name="conv_post")(x)
+        return jnp.tanh(x)[:, :, 0]

@@ -1,0 +1,236 @@
+"""End-to-end inference engine: text (+ reference speech / speaker id) →
+waveform.
+
+Public equivalent of the reference's synthesize.py flow
+(reference: DEX-TTS/synthesize.py:64-113, GeDEX-TTS/synthesize.py:32-73),
+re-designed for XLA's static shapes:
+
+  1. a small jitted `encode` pass predicts durations,
+  2. the host rounds the implied frame count up to a bucket,
+  3. one jitted graph per (text-bucket, frame-bucket) runs the full
+     text→mel 50-step sampler (and optionally the vocoder fused into the
+     same graph — BASELINE config 4).
+
+Compiled graphs are cached per bucket, so steady-state synthesis never
+recompiles. Batched inputs saturate the MXU across sentences.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dex_tts_tpu.audio.pitch import extract_lf0, normalize_lf0
+from dex_tts_tpu.audio.stft import MelSpectrogram
+from dex_tts_tpu.audio.wav import peak_normalize, read_wav, resample, trim_silence
+from dex_tts_tpu.models.edm import SamplerConfig
+from dex_tts_tpu.ops import fix_len_compatibility
+from dex_tts_tpu.text import CMUDict, text_to_sequence
+from dex_tts_tpu.text.symbols import BLANK_ID
+from dex_tts_tpu.utils import intersperse
+
+HOP_LENGTH = 256
+SAMPLE_RATE = 22050
+
+
+def _bucket(n: int, quantum: int, minimum: int = 0) -> int:
+    return max(minimum, -(-n // quantum) * quantum)
+
+
+class Synthesizer:
+    def __init__(
+        self,
+        model,
+        variables,
+        vocoder=None,
+        vocoder_params=None,
+        cmu_path: str | None = None,
+        add_blank: bool = True,
+        sampler: SamplerConfig | None = None,
+        x_quantum: int = 16,
+        y_quantum: int = 64,
+        use_ema: bool = False,
+        ema_params=None,
+    ):
+        if use_ema and ema_params is not None:
+            variables = dict(variables)
+            variables["params"] = ema_params
+        self.model = model
+        self.variables = variables
+        self.vocoder = vocoder
+        self.vocoder_params = vocoder_params
+        self.cmudict = CMUDict(cmu_path) if cmu_path else None
+        self.add_blank = add_blank
+        self.sampler = sampler or SamplerConfig(num_steps=50)
+        self.x_quantum = x_quantum
+        self.y_quantum = y_quantum
+        self.mel_extractor = MelSpectrogram()
+        self.hop = HOP_LENGTH
+        if vocoder is not None and hasattr(vocoder, "cfg"):
+            self.hop = int(np.prod(vocoder.cfg.upsample_rates))
+
+        self._encode = jax.jit(self._encode_impl)
+        self._synth_cache: dict = {}
+
+    # -- text/feature prep ----------------------------------------------------
+
+    def prepare_text(self, text: str) -> np.ndarray:
+        seq = text_to_sequence(text, dictionary=self.cmudict)
+        if self.add_blank:
+            seq = intersperse(seq, BLANK_ID)
+        return np.asarray(seq, np.int32)
+
+    def prepare_reference(self, wav_path: str):
+        """Reference wav → (mel (80, T), normalized lf0 (T,)).
+        reference: DEX-TTS/synthesize.py:40-62."""
+        wav, sr = read_wav(wav_path)
+        wav = trim_silence(wav, top_db=30.0)
+        wav = resample(wav, sr, SAMPLE_RATE)
+        wav = peak_normalize(wav)
+        mel, _ = self.mel_extractor(jnp.asarray(wav)[None])
+        mel = np.asarray(mel[0])
+        lf0 = normalize_lf0(extract_lf0(wav, SAMPLE_RATE, HOP_LENGTH))
+        t = min(mel.shape[1], len(lf0))
+        return mel[:, :t], lf0[:t]
+
+    # -- jitted stages ---------------------------------------------------------
+
+    def _encode_impl(self, x, x_lengths, spk=None, **cond_inputs):
+        return self.model.apply(
+            self.variables,
+            x,
+            x_lengths,
+            spk=spk,
+            method=type(self.model).predict_durations,
+            **cond_inputs,
+        )
+
+    def _get_synth(self, x_len: int, y_len: int, with_vocoder: bool):
+        key = (x_len, y_len, with_vocoder)
+        if key in self._synth_cache:
+            return self._synth_cache[key]
+
+        method = type(self.model).synthesize
+
+        @partial(
+            jax.jit,
+            static_argnames=("temperature", "length_scale"),
+        )
+        def run(rng, inputs, temperature=1.5, length_scale=1.0):
+            enc, dec, attn, y_lengths = self.model.apply(
+                self.variables,
+                rng,
+                inputs["x"],
+                inputs["x_lengths"],
+                y_max_length=y_len,
+                sampler=self.sampler,
+                temperature=temperature,
+                length_scale=length_scale,
+                method=method,
+                **{
+                    k: v
+                    for k, v in inputs.items()
+                    if k not in ("x", "x_lengths")
+                },
+            )
+            out = {"mel": dec, "enc": enc, "y_lengths": y_lengths}
+            if with_vocoder:
+                out["wav"] = self.vocoder.apply(
+                    {"params": self.vocoder_params}, dec
+                )
+            return out
+
+        self._synth_cache[key] = run
+        return run
+
+    # -- public API ------------------------------------------------------------
+
+    def predict_frames(self, inputs: dict, length_scale=1.0) -> int:
+        """Host-side frame estimate from the duration predictor."""
+        cond = {k: v for k, v in inputs.items() if k not in ("x", "x_lengths")}
+        logw, x_mask = self._encode(inputs["x"], inputs["x_lengths"], **cond)
+        w = np.exp(np.asarray(logw[:, :, 0])) * np.asarray(x_mask[:, :, 0])
+        frames = np.ceil(w).sum(axis=1) * length_scale
+        return int(frames.max())
+
+    def tts(
+        self,
+        texts: Sequence[str],
+        key=None,
+        n_timesteps: int | None = None,
+        temperature: float = 1.5,
+        length_scale: float = 1.0,
+        spk_ids: Sequence[int] | None = None,
+        ref_wavs: Sequence[str] | None = None,
+        vocode: bool = True,
+        max_frames: int = 2048,
+    ) -> list[dict]:
+        """Synthesize a batch of sentences → list of {mel, wav, n_frames}."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        if n_timesteps is not None and n_timesteps != self.sampler.num_steps:
+            self.sampler = SamplerConfig(
+                **{**self.sampler.__dict__, "num_steps": n_timesteps}
+            )
+            self._synth_cache.clear()
+
+        seqs = [self.prepare_text(t) for t in texts]
+        b = len(seqs)
+        x_max = _bucket(max(len(s) for s in seqs), self.x_quantum)
+        x = np.zeros((b, x_max), np.int32)
+        x_lengths = np.zeros((b,), np.int32)
+        for i, s in enumerate(seqs):
+            x[i, : len(s)] = s
+            x_lengths[i] = len(s)
+
+        inputs = {"x": jnp.asarray(x), "x_lengths": jnp.asarray(x_lengths)}
+        if spk_ids is not None:
+            inputs["spk"] = jnp.asarray(np.asarray(spk_ids, np.int32))
+
+        if ref_wavs is not None:
+            mels, lf0s = zip(*[self.prepare_reference(p) for p in ref_wavs])
+            t_max = _bucket(max(m.shape[1] for m in mels), self.y_quantum, 4)
+            ref = np.zeros((b, mels[0].shape[0], t_max), np.float32)
+            lf0 = np.zeros((b, t_max), np.float32)
+            lens = np.zeros((b,), np.int32)
+            for i, (m, l) in enumerate(zip(mels, lf0s)):
+                ref[i, :, : m.shape[1]] = m
+                lf0[i, : len(l)] = l
+                lens[i] = m.shape[1]
+            inputs.update(
+                ref=jnp.asarray(ref),
+                ref_lengths=jnp.asarray(lens),
+                sty=jnp.asarray(ref),
+                sty_lengths=jnp.asarray(lens),
+                lf0=jnp.asarray(lf0),
+                lf0_lengths=jnp.asarray(lens),
+            )
+
+        # phase 1: duration estimate → frame bucket
+        n_frames = self.predict_frames(inputs, length_scale)
+        y_len = fix_len_compatibility(
+            min(_bucket(n_frames, self.y_quantum, 8), max_frames)
+        )
+
+        # phase 2: full synthesis at the bucketed length
+        with_voc = vocode and self.vocoder is not None
+        run = self._get_synth(x_max, y_len, with_voc)
+        out = run(key, inputs, temperature=temperature, length_scale=length_scale)
+
+        mels = np.asarray(out["mel"])
+        lens = np.asarray(out["y_lengths"])
+        results = []
+        for i in range(b):
+            item = {
+                "mel": mels[i, :, : lens[i]],
+                "n_frames": int(lens[i]),
+            }
+            if with_voc:
+                wav = np.asarray(out["wav"][i])
+                item["wav"] = wav[: lens[i] * self.hop]
+            results.append(item)
+        return results

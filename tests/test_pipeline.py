@@ -1,0 +1,109 @@
+import jax
+import numpy as np
+import pytest
+
+from dex_tts_tpu.audio.pitch import extract_f0, extract_lf0
+from dex_tts_tpu.audio.wav import peak_normalize, resample, trim_silence, write_wav, read_wav
+from dex_tts_tpu.models.dit import DiTConfig
+from dex_tts_tpu.models.edm import SamplerConfig
+from dex_tts_tpu.models.tts import GeDEXTTS
+from dex_tts_tpu.models.vocoder import HiFiGANConfig, HiFiGANGenerator
+from dex_tts_tpu.pipeline import Synthesizer
+
+TINY_DIT = DiTConfig(
+    patch_size=3, stride_size=2, hidden_size=32, depth=1, num_heads=2,
+    mlp_ratio=2.0, conv_pos=4, conv_pos_groups=2,
+)
+
+TINY_VOC = HiFiGANConfig(
+    num_mels=16,
+    upsample_rates=(4, 2),
+    upsample_kernel_sizes=(8, 4),
+    upsample_initial_channel=16,
+    resblock_kernel_sizes=(3,),
+    resblock_dilation_sizes=((1, 2),),
+)
+
+
+@pytest.fixture(scope="module")
+def synthesizer():
+    model = GeDEXTTS(
+        n_vocab=149, n_feats=16, enc_channels=24, enc_filter_channels=32,
+        enc_filter_channels_dp=16, enc_heads=2, enc_layers=2, dec_dim=8,
+        dec_dim_mults=(1, 2), dit=TINY_DIT,
+    )
+    import jax.numpy as jnp
+
+    x = jnp.ones((1, 8), jnp.int32)
+    xl = jnp.full((1,), 8, jnp.int32)
+    y = jnp.zeros((1, 16, 16))
+    yl = jnp.full((1,), 16, jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jax.random.PRNGKey(2), x, xl, y, yl, train=False,
+        method=GeDEXTTS.compute_loss,
+    )
+    voc = HiFiGANGenerator(TINY_VOC)
+    voc_params = voc.init(jax.random.PRNGKey(3), y)["params"]
+    return Synthesizer(
+        model, variables, vocoder=voc, vocoder_params=voc_params,
+        sampler=SamplerConfig(num_steps=2), x_quantum=8, y_quantum=16,
+    )
+
+
+def test_tts_end_to_end(synthesizer):
+    out = synthesizer.tts(["hello there", "ok"], key=jax.random.PRNGKey(0))
+    assert len(out) == 2
+    for item in out:
+        assert item["mel"].shape[0] == 16
+        assert item["mel"].shape[1] == item["n_frames"]
+        assert item["wav"].shape == (item["n_frames"] * 8,)  # tiny voc: 4·2
+        assert np.isfinite(item["wav"]).all()
+
+
+def test_tts_bucket_reuse(synthesizer):
+    synthesizer.tts(["first call"], key=jax.random.PRNGKey(1))
+    n_graphs = len(synthesizer._synth_cache)
+    synthesizer.tts(["first call"], key=jax.random.PRNGKey(2))
+    # same text/frame bucket → no new compiled graph
+    assert len(synthesizer._synth_cache) == n_graphs
+
+
+def test_wav_roundtrip(tmp_path):
+    sr = 22050
+    t = np.arange(sr) / sr
+    wav = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    path = str(tmp_path / "x.wav")
+    write_wav(path, wav, sr)
+    loaded, sr2 = read_wav(path)
+    assert sr2 == sr
+    np.testing.assert_allclose(loaded, wav, atol=1e-3)
+
+
+def test_trim_resample_normalize():
+    sr = 16000
+    sig = np.concatenate(
+        [np.zeros(4000), 0.4 * np.sin(2 * np.pi * 220 * np.arange(8000) / sr),
+         np.zeros(4000)]
+    ).astype(np.float32)
+    trimmed = trim_silence(sig, top_db=30)
+    assert len(trimmed) < len(sig)
+    assert np.abs(trimmed).max() > 0.3
+    res = resample(trimmed, sr, 22050)
+    assert abs(len(res) / len(trimmed) - 22050 / sr) < 0.01
+    assert np.isclose(np.abs(peak_normalize(res)).max(), 1.0, atol=1e-5)
+
+
+def test_f0_on_known_tone():
+    sr, hop = 22050, 256
+    t = np.arange(sr) / sr
+    wav = (0.6 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    f0 = extract_f0(wav, sr, hop)
+    voiced = f0 > 0
+    assert voiced.mean() > 0.8
+    assert abs(np.median(f0[voiced]) - 220.0) < 5.0
+    # silence → unvoiced
+    f0_silence = extract_f0(np.zeros(sr, np.float32), sr, hop)
+    assert (f0_silence == 0).all()
+    lf0 = extract_lf0(wav, sr, hop)
+    assert abs(np.exp(np.median(lf0[lf0 != 0])) - 220.0) < 5.0

@@ -1,0 +1,180 @@
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dex_tts_tpu.convert import fold_weight_norm, hifigan_torch_to_flax
+from dex_tts_tpu.models.vocoder import HiFiGANConfig, HiFiGANGenerator
+
+torch = pytest.importorskip("torch")
+
+TINY = HiFiGANConfig(
+    num_mels=8,
+    upsample_rates=(4, 2),
+    upsample_kernel_sizes=(8, 4),
+    upsample_initial_channel=16,
+    resblock_kernel_sizes=(3, 5),
+    resblock_dilation_sizes=((1, 2), (1, 2)),
+)
+
+
+def build_torch_generator(cfg):
+    """Torch twin of HiFiGANGenerator built from primitives (independent
+    implementation used as a numerical oracle)."""
+    tn = torch.nn
+
+    class TorchRes(tn.Module):
+        def __init__(self, ch, k, dils):
+            super().__init__()
+            self.c1 = tn.ModuleList(
+                [tn.Conv1d(ch, ch, k, dilation=d, padding=(k * d - d) // 2)
+                 for d in dils]
+            )
+            self.c2 = tn.ModuleList(
+                [tn.Conv1d(ch, ch, k, padding=(k - 1) // 2) for _ in dils]
+            )
+
+        def forward(self, x):
+            for a, b in zip(self.c1, self.c2):
+                h = torch.nn.functional.leaky_relu(x, 0.1)
+                h = a(h)
+                h = torch.nn.functional.leaky_relu(h, 0.1)
+                h = b(h)
+                x = x + h
+            return x
+
+    class TorchGen(tn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_pre = tn.Conv1d(cfg.num_mels, cfg.upsample_initial_channel,
+                                      7, padding=3)
+            self.ups = tn.ModuleList()
+            self.res = tn.ModuleList()
+            for i, (u, k) in enumerate(zip(cfg.upsample_rates,
+                                           cfg.upsample_kernel_sizes)):
+                cin = cfg.upsample_initial_channel // (2**i)
+                ch = cin // 2
+                self.ups.append(tn.ConvTranspose1d(cin, ch, k, u,
+                                                   padding=(k - u) // 2))
+                for rk, rd in zip(cfg.resblock_kernel_sizes,
+                                  cfg.resblock_dilation_sizes):
+                    self.res.append(TorchRes(ch, rk, rd))
+            self.conv_post = tn.Conv1d(ch, 1, 7, padding=3)
+
+        def forward(self, x):
+            x = self.conv_pre(x)
+            nk = len(cfg.resblock_kernel_sizes)
+            for i, up in enumerate(self.ups):
+                x = torch.nn.functional.leaky_relu(x, 0.1)
+                x = up(x)
+                xs = sum(self.res[i * nk + j](x) for j in range(nk))
+                x = xs / nk
+            x = torch.nn.functional.leaky_relu(x)
+            return torch.tanh(self.conv_post(x))
+
+    return TorchGen()
+
+
+def torch_state_to_reference_names(gen, cfg):
+    """Rename the twin's params to the reference checkpoint naming
+    (conv_pre / ups.N / resblocks.M.convsX.K / conv_post)."""
+    state = {}
+    sd = gen.state_dict()
+    state["conv_pre.weight"] = sd["conv_pre.weight"].numpy()
+    state["conv_pre.bias"] = sd["conv_pre.bias"].numpy()
+    state["conv_post.weight"] = sd["conv_post.weight"].numpy()
+    state["conv_post.bias"] = sd["conv_post.bias"].numpy()
+    for i in range(len(cfg.upsample_rates)):
+        state[f"ups.{i}.weight"] = sd[f"ups.{i}.weight"].numpy()
+        state[f"ups.{i}.bias"] = sd[f"ups.{i}.bias"].numpy()
+    n_blocks = len(cfg.upsample_rates) * len(cfg.resblock_kernel_sizes)
+    for m in range(n_blocks):
+        for branch in ("c1", "c2"):
+            out_branch = "convs1" if branch == "c1" else "convs2"
+            for k in range(len(cfg.resblock_dilation_sizes[0])):
+                for p in ("weight", "bias"):
+                    state[f"resblocks.{m}.{out_branch}.{k}.{p}"] = sd[
+                        f"res.{m}.{branch}.{k}.{p}"
+                    ].numpy()
+    return state
+
+
+def test_hifigan_matches_torch_twin():
+    torch.manual_seed(0)
+    gen = build_torch_generator(TINY).eval()
+    mel = torch.randn(2, 8, 25)
+    with torch.no_grad():
+        want = gen(mel).numpy()[:, 0, :]
+
+    state = torch_state_to_reference_names(gen, TINY)
+    params = hifigan_torch_to_flax(state, TINY)
+    model = HiFiGANGenerator(TINY)
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(mel.numpy())))
+    assert got.shape == want.shape == (2, 25 * 8)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_fold_weight_norm_matches_torch():
+    conv = torch.nn.utils.weight_norm(torch.nn.Conv1d(4, 6, 3, padding=1))
+    x = torch.randn(1, 4, 10)
+    with torch.no_grad():
+        want = conv(x).numpy()
+    state = {k: v.detach().numpy() for k, v in conv.state_dict().items()}
+    folded = fold_weight_norm(state)
+    plain = torch.nn.Conv1d(4, 6, 3, padding=1)
+    with torch.no_grad():
+        plain.weight.copy_(torch.from_numpy(folded["weight"]))
+        plain.bias.copy_(torch.from_numpy(folded["bias"]))
+        got = plain(x).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_hifigan_output_range_and_length():
+    model = HiFiGANGenerator(TINY)
+    mel = jnp.zeros((1, 8, 30))
+    params = model.init(jax.random.PRNGKey(0), mel)
+    wav = model.apply(params, mel)
+    assert wav.shape == (1, 30 * 8)
+    assert float(jnp.abs(wav).max()) <= 1.0
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/DEX-TTS/hifigan"),
+    reason="reference repo not mounted",
+)
+def test_hifigan_matches_reference_implementation():
+    """Full-architecture parity against the actual reference generator
+    (random weights, weight norm folded)."""
+    sys.path.insert(0, "/root/reference/DEX-TTS")
+    from hifigan.models import Generator as RefGenerator
+
+    class H(dict):
+        __getattr__ = dict.__getitem__
+
+    h = H(
+        resblock="1",
+        upsample_rates=[8, 8, 2, 2],
+        upsample_kernel_sizes=[16, 16, 4, 4],
+        upsample_initial_channel=32,
+        resblock_kernel_sizes=[3, 7, 11],
+        resblock_dilation_sizes=[[1, 3, 5], [1, 3, 5], [1, 3, 5]],
+    )
+    torch.manual_seed(1)
+    ref = RefGenerator(h)
+    ref.remove_weight_norm()
+    ref.eval()
+    mel = torch.randn(1, 80, 17)
+    with torch.no_grad():
+        want = ref(mel).numpy()[:, 0, :]
+
+    cfg = HiFiGANConfig(
+        upsample_initial_channel=32,
+    )
+    state = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = hifigan_torch_to_flax(state, cfg)
+    model = HiFiGANGenerator(cfg)
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(mel.numpy())))
+    np.testing.assert_allclose(got, want, atol=2e-5)
