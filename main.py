@@ -1,0 +1,132 @@
+"""Train / evaluate CLI.
+
+Usage (mirrors the reference CLI shape — reference: DEX-TTS/main.py:21-67,
+argument.py:3-23):
+
+  python main.py train --config dex_tts_tpu/config/presets/vctk.yaml
+  python main.py test  --config ... --test_checkpoint <exp_dir> [--sample_size N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from dex_tts_tpu.config import build_model
+from dex_tts_tpu.data import BucketBatcher, TextMelDataset
+from dex_tts_tpu.models.edm import SamplerConfig
+from dex_tts_tpu.ops import fix_len_compatibility
+from dex_tts_tpu.train import Trainer, create_train_state
+from dex_tts_tpu.utils import Config, seed_init, set_experiment
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("action", choices=["train", "test"])
+    p.add_argument("--config", required=True)
+    p.add_argument("--seed", type=int, default=100)
+    p.add_argument("--n_timesteps", type=int, default=50)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--tag", type=str, default=None)
+    p.add_argument("--test_checkpoint", type=str, default=None)
+    p.add_argument("--test_file", type=str, default=None)
+    p.add_argument("--sample_size", type=int, default=10)
+    p.add_argument("--n_devices", type=int, default=None)
+    return p.parse_args()
+
+
+def make_loaders(cfg, args):
+    load_style = cfg.get("model_family", "dex") == "dex"
+    common = dict(
+        cmu_path=cfg.path.get("cmu_path"),
+        add_blank=cfg.model.get("add_blank", True),
+        load_style=load_style,
+        aug_types=tuple(cfg.train.get("aug_type", ["N", "N", "N"])),
+        seed=args.seed,
+    )
+    train_ds = TextMelDataset(cfg.path.train_path, **common)
+    val_ds = TextMelDataset(cfg.path.val_path, **common)
+    bq = dict(
+        batch_size=cfg.train.batch_size,
+        x_quantum=cfg.train.get("x_quantum", 32),
+        y_quantum=cfg.train.get("y_quantum", 64),
+        seed=args.seed,
+    )
+    return (
+        lambda: BucketBatcher(train_ds, shuffle=True, **bq),
+        lambda: BucketBatcher(val_ds, shuffle=False, **bq),
+        train_ds,
+        val_ds,
+    )
+
+
+def compute_out_size(cfg) -> int | None:
+    """Training mel segment length: fix_len s of audio, rounded for the
+    U-Net (reference: DEX-TTS/main.py:61-64 — 2 s ⇒ 172 frames)."""
+    if not cfg.train.get("out_size", True):
+        return None
+    pre = cfg.preprocess
+    return fix_len_compatibility(
+        int(cfg.train.get("fix_len", 2) * pre.sample_rate / pre.hop_length)
+    )
+
+
+def train(args):
+    cfg = Config(args.config)
+    seed_init(args.seed)
+    set_experiment(cfg, tag=args.tag)
+    model = build_model(cfg)
+    out_size = compute_out_size(cfg)
+
+    train_loader_fn, valid_loader_fn, train_ds, _ = make_loaders(cfg, args)
+    init_batch = next(iter(train_loader_fn()))
+    state, tx = create_train_state(
+        model,
+        init_batch,
+        seed=args.seed,
+        lr=float(cfg.train.lr),
+        max_grad=float(cfg.train.get("max_grad", 1.0)),
+        out_size=out_size,
+    )
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
+    print(f"model params: {n_params / 1e6:.2f} M | out_size: {out_size}")
+
+    trainer = Trainer(
+        model,
+        state,
+        tx,
+        exp_dir=cfg.exp_dir,
+        out_size=out_size,
+        ema_decay=float(cfg.train.get("ema_decay", 0.9999)),
+        mask_ratio=float(cfg.train.get("mask_ratio", 0.0)),
+        save_epoch=int(cfg.train.get("save_epoch", 200)),
+    )
+    if args.resume and trainer.ckpt.exists("last"):
+        trainer.state = trainer.ckpt.restore(state, "last")
+        print(f"resumed from step {int(trainer.state.step)}")
+    trainer.fit(train_loader_fn, valid_loader_fn, epochs=int(cfg.train.epoch))
+
+
+def test(args):
+    from dex_tts_tpu.eval.evaluation import run_objective_eval
+
+    cfg = Config(args.config)
+    seed_init(args.seed)
+    run_objective_eval(
+        cfg,
+        exp_dir=args.test_checkpoint,
+        sample_size=args.sample_size,
+        n_timesteps=args.n_timesteps,
+        test_file=args.test_file,
+    )
+
+
+if __name__ == "__main__":
+    a = parse_args()
+    if a.action == "train":
+        train(a)
+    else:
+        test(a)
