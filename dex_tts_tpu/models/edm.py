@@ -208,12 +208,15 @@ def build_schedule(cfg: SamplerConfig) -> dict[str, np.ndarray]:
         sigma_steps = np.sqrt(orig_t)
     elif cfg.discretization == "iddpm":
         m = cfg.m_steps
-        u = np.zeros(m + 1)
-        alpha_bar = lambda j: np.sin(0.5 * np.pi * j / m / (cfg.c_2 + 1)) ** 2
+        # float32 recursion to match the reference's torch tensors bit-wise
+        u = np.zeros(m + 1, np.float32)
+        alpha_bar = lambda j: np.float32(
+            np.sin(0.5 * np.pi * j / m / (cfg.c_2 + 1)) ** 2
+        )
         for j in range(m, 0, -1):
             u[j - 1] = np.sqrt(
                 (u[j] ** 2 + 1)
-                / max(alpha_bar(j - 1) / alpha_bar(j), cfg.c_1)
+                / np.maximum(alpha_bar(j - 1) / alpha_bar(j), np.float32(cfg.c_1))
                 - 1
             )
         u_filtered = u[(u >= sigma_min) & (u <= sigma_max)]
