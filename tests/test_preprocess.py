@@ -1,0 +1,85 @@
+import os
+
+import numpy as np
+
+from dex_tts_tpu.audio.wav import write_wav
+from dex_tts_tpu.preprocess.filelists import make_filelist
+from dex_tts_tpu.preprocess.preprocessor import (
+    PreprocessConfig,
+    Preprocessor,
+    prepare_align,
+)
+
+
+def make_ljspeech_corpus(root, n=6, sr=22050):
+    wav_dir = os.path.join(root, "wavs")
+    os.makedirs(wav_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(n):
+        base = f"LJ001-{i:04d}"
+        dur = 0.5 + 0.1 * i
+        t = np.arange(int(sr * dur)) / sr
+        wav = (0.5 * np.sin(2 * np.pi * (180 + 20 * i) * t)).astype(np.float32)
+        wav += 0.01 * rng.standard_normal(len(wav)).astype(np.float32)
+        write_wav(os.path.join(wav_dir, f"{base}.wav"), wav, sr)
+        lines.append(f"{base}|Raw text {i}|Normalized text number {i}.")
+    with open(os.path.join(root, "metadata.csv"), "w") as f:
+        f.write("\n".join(lines))
+
+
+def test_preprocess_ljspeech_end_to_end(tmp_path):
+    corpus = os.path.join(tmp_path, "corpus")
+    make_ljspeech_corpus(corpus)
+    cfg = PreprocessConfig(
+        corpus_path=corpus,
+        raw_path=os.path.join(tmp_path, "raw"),
+        out_path=os.path.join(tmp_path, "pre"),
+    )
+    prepare_align("LJSpeech", cfg)
+    labs = [f for f in os.listdir(os.path.join(cfg.raw_path, "LJSpeech")) if f.endswith(".lab")]
+    assert len(labs) == 6
+
+    rows = Preprocessor(cfg).build_from_path()
+    assert len(rows) == 6
+    mel = np.load(rows[0]["mel_path"])
+    assert mel.shape[1] == 80  # stored (T, n_mels)
+    lf0_path = rows[0]["mel_path"].replace("/mel/", "/lf0/").replace("-mel-", "-lf0-")
+    lf0 = np.load(lf0_path)
+    assert lf0.shape[0] == mel.shape[0]
+    voiced = lf0 != 0
+    assert voiced.mean() > 0.5  # a sine is mostly voiced
+    # lf0 of a ~180-220 Hz tone
+    assert 150 < np.exp(np.median(lf0[voiced])) < 260
+
+    counts = make_filelist(rows, os.path.join(tmp_path, "fl"), dataset="LJSpeech")
+    assert counts["train"] + counts["valid"] + counts["test"] == 6
+    with open(os.path.join(tmp_path, "fl", "train.txt")) as f:
+        line = f.readline().strip().split("|")
+    assert os.path.isfile(line[0])
+    assert line[2] == "0"
+
+
+def test_filelist_unseen_speakers(tmp_path):
+    rows = [
+        {"mel_path": f"m{i}", "text": "t", "speaker_id": i % 4, "n_frames": 100}
+        for i in range(40)
+    ]
+    counts = make_filelist(
+        rows, os.path.join(tmp_path, "fl"), dataset="VCTK", unseen_speakers=[3]
+    )
+    assert counts["test_unseen"] == 10
+    with open(os.path.join(tmp_path, "fl", "train_unseen.txt")) as f:
+        for line in f:
+            assert line.strip().split("|")[2] != "3"
+
+
+def test_filelist_duration_filter(tmp_path):
+    rows = [
+        {"mel_path": f"m{i}", "text": "t", "speaker_id": 0, "n_frames": i * 50}
+        for i in range(10)
+    ]
+    counts = make_filelist(
+        rows, os.path.join(tmp_path, "fl"), min_frames=100, max_frames=300
+    )
+    assert sum(counts.values()) == 5  # frames 100,150,200,250,300
