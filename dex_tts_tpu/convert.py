@@ -75,6 +75,51 @@ def hifigan_torch_to_flax(state: dict, cfg=None) -> dict:
     return params
 
 
+def bigvgan_torch_to_flax(state: dict, cfg=None) -> dict:
+    """Reference BigVGAN generator state_dict → flax params for
+    BigVGANGenerator (reference naming: ups.{i}.0, resblocks.{m}.convs1/2,
+    resblocks.{m}.activations.{j}.act.{alpha,beta})."""
+    from dex_tts_tpu.models.vocoder.bigvgan import BigVGANConfig
+
+    cfg = cfg or BigVGANConfig()
+    state = fold_weight_norm(state)
+    params = {"conv_pre": _conv1d(state, "conv_pre"),
+              "conv_post": _conv1d(state, "conv_post")}
+
+    def snake(prefix):
+        out = {"alpha": state[f"{prefix}.alpha"]}
+        if f"{prefix}.beta" in state:
+            out["beta"] = state[f"{prefix}.beta"]
+        return out
+
+    params["act_post"] = snake("activation_post.act")
+    n_kernels = len(cfg.resblock_kernel_sizes)
+    for i in range(len(cfg.upsample_rates)):
+        params[f"up_{i}"] = _convT1d(state, f"ups.{i}.0")
+        for j in range(n_kernels):
+            m = i * n_kernels + j
+            block = {}
+            n_dil = len(cfg.resblock_dilation_sizes[j])
+            if cfg.resblock == "1":
+                for d in range(n_dil):
+                    block[f"conv1_{d}"] = _conv1d(state, f"resblocks.{m}.convs1.{d}")
+                    block[f"conv2_{d}"] = _conv1d(state, f"resblocks.{m}.convs2.{d}")
+                    block[f"act1_{d}"] = snake(
+                        f"resblocks.{m}.activations.{2 * d}.act"
+                    )
+                    block[f"act2_{d}"] = snake(
+                        f"resblocks.{m}.activations.{2 * d + 1}.act"
+                    )
+            else:
+                for d in range(min(n_dil, 2)):
+                    block[f"conv_{d}"] = _conv1d(state, f"resblocks.{m}.convs.{d}")
+                    block[f"act_{d}"] = snake(
+                        f"resblocks.{m}.activations.{d}.act"
+                    )
+            params[f"resblock_{i}_{j}"] = block
+    return params
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a .pth file into a {name: np.ndarray} dict (host-side torch)."""
     import torch

@@ -31,7 +31,13 @@ from dex_tts_tpu.models.layers import TimestepEmbedder
 @dataclass(frozen=True)
 class DiTConfig:
     """reference: DEX-TTS/config/VCTK/base.yaml:71-84 (DEX: patch 3/stride 2)
-    and GeDEX-TTS/config/LJSpeech/base.yaml:49-62 (patch 7/stride 4)."""
+    and GeDEX-TTS/config/LJSpeech/base.yaml:49-62 (patch 7/stride 4).
+
+    dtype is the *compute* dtype (params stay float32): bfloat16 runs the
+    matmul-heavy blocks on the MXU's native precision — measured ~30x
+    faster than float32 flax attention at 5k tokens on v5e. Softmax and
+    LayerNorm statistics stay in float32 regardless.
+    """
 
     in_channels: int = 128  # set to the U-Net mid dim by the denoiser
     patch_size: int = 3
@@ -45,6 +51,11 @@ class DiTConfig:
     conv_pos_groups: int = 8
     mask_type: str = "random"
     grid_h: int = 20  # input freq bins // stride
+    dtype: str = "float32"
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
 
 
 def modulate(x, shift, scale):
@@ -69,10 +80,14 @@ class PatchEmbed2D(nn.Module):
             strides=(stride, stride),
             padding=[(pad, pad), (pad, pad)],
             feature_group_count=x.shape[-1],
+            dtype=cfg.compute_dtype,
             name="dw_conv",
         )(x)
         x = nn.silu(x)
-        return nn.Conv(cfg.hidden_size, kernel_size=(1, 1), name="pw_conv")(x)
+        return nn.Conv(
+            cfg.hidden_size, kernel_size=(1, 1), dtype=cfg.compute_dtype,
+            name="pw_conv",
+        )(x)
 
 
 class ConvTimePosEmbed(nn.Module):
@@ -92,10 +107,40 @@ class ConvTimePosEmbed(nn.Module):
             kernel_size=(k, k),
             padding=[(k // 2, k // 2 - trim), (k // 2, k // 2 - trim)],
             feature_group_count=self.cfg.conv_pos_groups,
+            dtype=self.cfg.compute_dtype,
             name="pos_conv",
         )
         pos = nn.gelu(conv(x), approximate=False)
         return jnp.mean(pos, axis=1, keepdims=True)  # mean over freq
+
+
+class MHSA(nn.Module):
+    """timm-style multi-head self-attention (qkv bias, scaled dot product,
+    output projection). Manual einsums: bf16 matmuls on the MXU, f32
+    softmax. reference: timm Attention used at DEX-TTS/model/dit.py:270."""
+
+    cfg: DiTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        b, t, d = x.shape
+        h = cfg.num_heads
+        hd = d // h
+        dt = cfg.compute_dtype
+        qkv = nn.Dense(3 * d, use_bias=True, dtype=dt, name="qkv")(x)
+        qkv = qkv.reshape(b, t, 3, h, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        scores = jnp.einsum(
+            "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32
+        ) * (hd**-0.5)
+        weights = jax.nn.softmax(scores, axis=-1).astype(dt)
+        out = jnp.einsum(
+            "bhts,bshd->bthd", weights, v, preferred_element_type=jnp.float32
+        ).astype(dt)
+        return nn.Dense(d, use_bias=True, dtype=dt, name="proj")(
+            out.reshape(b, t, d)
+        )
 
 
 class DiTBlock(nn.Module):
@@ -107,6 +152,7 @@ class DiTBlock(nn.Module):
     @nn.compact
     def __call__(self, x, c):
         cfg = self.cfg
+        dt = cfg.compute_dtype
         mod = nn.Dense(
             6 * cfg.hidden_size,
             kernel_init=nn.initializers.zeros,
@@ -119,20 +165,15 @@ class DiTBlock(nn.Module):
 
         h = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)(x)
         h = modulate(h, shift_msa, scale_msa)
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=cfg.num_heads,
-            qkv_features=cfg.hidden_size,
-            use_bias=True,
-            name="attn",
-        )(h, h)
-        x = x + gate_msa[:, None, :] * attn
+        attn = MHSA(cfg, name="attn")(h)
+        x = x + gate_msa[:, None, :] * attn.astype(x.dtype)
 
         h = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)(x)
         h = modulate(h, shift_mlp, scale_mlp)
-        h = nn.Dense(int(cfg.hidden_size * cfg.mlp_ratio), name="mlp_fc1")(h)
+        h = nn.Dense(int(cfg.hidden_size * cfg.mlp_ratio), dtype=dt, name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(cfg.hidden_size, name="mlp_fc2")(h)
-        return x + gate_mlp[:, None, :] * h
+        h = nn.Dense(cfg.hidden_size, dtype=dt, name="mlp_fc2")(h)
+        return x + gate_mlp[:, None, :] * h.astype(x.dtype)
 
 
 class FinalLayer(nn.Module):
@@ -158,6 +199,7 @@ class FinalLayer(nn.Module):
             out_dim,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
+            dtype=cfg.compute_dtype,
             name="linear",
         )(x)
 

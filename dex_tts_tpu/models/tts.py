@@ -76,6 +76,9 @@ class GeDEXTTS(nn.Module):
     pe_scale: float = 1000.0
     loss_type: str = "base"
     dit: Optional[DiTConfig] = None
+    # compute dtype of the denoiser hot path ("bfloat16" for serving;
+    # params always float32)
+    compute_dtype: str = "float32"
 
     use_style: bool = False  # overridden by DeXTTS
 
@@ -106,6 +109,7 @@ class GeDEXTTS(nn.Module):
                 **dit_cfg.__dict__,
                 "in_channels": mid_dim,
                 "grid_h": (self.n_feats // (2**n_down)) // dit_cfg.stride_size,
+                "dtype": self.compute_dtype,
             }
         )
         self.decoder = DiffusionDenoiser(
@@ -117,6 +121,7 @@ class GeDEXTTS(nn.Module):
             use_style=self.use_style,
             n_spks=self.n_spks,
             spk_emb_dim=self.spk_emb_dim,
+            dtype=self.compute_dtype,
         )
 
     # -- shared pieces ------------------------------------------------------

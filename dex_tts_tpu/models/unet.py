@@ -24,10 +24,14 @@ class Block(nn.Module):
 
     dim_out: int
     groups: int = 8
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, mask):
-        h = nn.Conv(self.dim_out, (3, 3), padding=[(1, 1), (1, 1)])(x * mask)
+        h = nn.Conv(
+            self.dim_out, (3, 3), padding=[(1, 1), (1, 1)],
+            dtype=jnp.dtype(self.dtype),
+        )(x * mask)
         h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5)(h)
         return mish(h) * mask
 
@@ -38,15 +42,19 @@ class ResnetBlock(nn.Module):
 
     dim_out: int
     groups: int = 8
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, mask, time_emb):
-        h = Block(self.dim_out, self.groups, name="block1")(x, mask)
+        h = Block(self.dim_out, self.groups, self.dtype, name="block1")(x, mask)
         t = nn.Dense(self.dim_out, name="mlp")(mish(time_emb))
         h = h + t[:, None, None, :]
-        h = Block(self.dim_out, self.groups, name="block2")(h, mask)
+        h = Block(self.dim_out, self.groups, self.dtype, name="block2")(h, mask)
         if x.shape[-1] != self.dim_out:
-            res = nn.Conv(self.dim_out, (1, 1), name="res_conv")(x * mask)
+            res = nn.Conv(
+                self.dim_out, (1, 1), dtype=jnp.dtype(self.dtype),
+                name="res_conv",
+            )(x * mask)
         else:
             res = x * mask
         return h + res
@@ -58,12 +66,15 @@ class LinearAttention(nn.Module):
 
     heads: int = 4
     dim_head: int = 32
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
+        dt = jnp.dtype(self.dtype)
         hidden = self.heads * self.dim_head
-        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, name="to_qkv")(x)
+        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=dt,
+                      name="to_qkv")(x)
         qkv = qkv.reshape(b, h * w, 3, self.heads, self.dim_head)
         q = qkv[:, :, 0].transpose(0, 2, 3, 1)  # (B, heads, d, n)
         k = qkv[:, :, 1].transpose(0, 2, 3, 1)
@@ -76,28 +87,32 @@ class LinearAttention(nn.Module):
             "bhde,bhdn->bhen", context, q, preferred_element_type=jnp.float32
         ).astype(x.dtype)
         out = out.transpose(0, 3, 1, 2).reshape(b, h, w, hidden)
-        return nn.Conv(x.shape[-1], (1, 1), name="to_out")(out)
+        return nn.Conv(x.shape[-1], (1, 1), dtype=dt, name="to_out")(out)
 
 
 class RezeroAttention(nn.Module):
     """x + g·LinearAttention(x), g zero-init.
     reference: DEX-TTS/model/diffusion.py:34-41,98-105."""
 
+    dtype: str = "float32"
+
     @nn.compact
     def __call__(self, x):
         g = self.param("g", nn.initializers.zeros, (1,))
-        return x + LinearAttention(name="fn")(x) * g
+        return x + LinearAttention(dtype=self.dtype, name="fn")(x) * g
 
 
 class Downsample(nn.Module):
     """conv3x3 stride 2. reference: DEX-TTS/model/diffusion.py:25-31."""
 
     dim: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
         return nn.Conv(
-            self.dim, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+            self.dim, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+            dtype=jnp.dtype(self.dtype),
         )(x)
 
 
@@ -106,6 +121,7 @@ class Upsample(nn.Module):
     reference: DEX-TTS/model/diffusion.py:16-22."""
 
     dim: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
@@ -118,6 +134,7 @@ class Upsample(nn.Module):
             strides=(2, 2),
             padding=[(2, 2), (2, 2)],
             transpose_kernel=True,
+            dtype=jnp.dtype(self.dtype),
         )(x)
 
 
@@ -140,6 +157,7 @@ class DiffusionDenoiser(nn.Module):
     use_style: bool = False
     n_spks: int = 1
     spk_emb_dim: int = 64
+    dtype: str = "float32"  # compute dtype for convs/attention (params f32)
 
     @nn.compact
     def __call__(
@@ -183,16 +201,15 @@ class DiffusionDenoiser(nn.Module):
         for i, dim_out in enumerate(dims):
             is_last = i == num_res - 1
             m = masks[-1]
-            h = ResnetBlock(dim_out, self.groups, name=f"down_{i}_res1")(
-                h, m, t_unet
-            )
-            h = ResnetBlock(dim_out, self.groups, name=f"down_{i}_res2")(
-                h, m, t_unet
-            )
-            h = RezeroAttention(name=f"down_{i}_attn")(h)
+            h = ResnetBlock(dim_out, self.groups, self.dtype,
+                            name=f"down_{i}_res1")(h, m, t_unet)
+            h = ResnetBlock(dim_out, self.groups, self.dtype,
+                            name=f"down_{i}_res2")(h, m, t_unet)
+            h = RezeroAttention(self.dtype, name=f"down_{i}_attn")(h)
             hiddens.append(h)
             if not is_last:
-                h = Downsample(dim_out, name=f"down_{i}_downsample")(h * m)
+                h = Downsample(dim_out, self.dtype,
+                               name=f"down_{i}_downsample")(h * m)
             else:
                 h = h * m
             masks.append(m[:, :, ::2, :])
@@ -223,13 +240,15 @@ class DiffusionDenoiser(nn.Module):
             zip(reversed(dims[:-1]), reversed(masks[1:]))
         ):
             h = jnp.concatenate([h, hiddens.pop()], axis=-1)
-            h = ResnetBlock(dim_in, self.groups, name=f"up_{j}_res1")(h, m, t_unet)
-            h = ResnetBlock(dim_in, self.groups, name=f"up_{j}_res2")(h, m, t_unet)
-            h = RezeroAttention(name=f"up_{j}_attn")(h)
-            h = Upsample(dim_in, name=f"up_{j}_upsample")(h * m)
+            h = ResnetBlock(dim_in, self.groups, self.dtype,
+                            name=f"up_{j}_res1")(h, m, t_unet)
+            h = ResnetBlock(dim_in, self.groups, self.dtype,
+                            name=f"up_{j}_res2")(h, m, t_unet)
+            h = RezeroAttention(self.dtype, name=f"up_{j}_attn")(h)
+            h = Upsample(dim_in, self.dtype, name=f"up_{j}_upsample")(h * m)
 
         # the first (unconsumed) skip pairs with the final blocks
-        h = Block(self.dim, self.groups, name="final_block")(h, mask4)
+        h = Block(self.dim, self.groups, self.dtype, name="final_block")(h, mask4)
         out = nn.Conv(1, (1, 1), name="final_conv")(h * mask4)
         out = out * mask4
         return out[:, :, :, 0]

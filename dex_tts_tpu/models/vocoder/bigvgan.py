@@ -1,0 +1,244 @@
+"""BigVGAN generator: HiFi-GAN skeleton with anti-aliased periodic (snake)
+activations.
+
+Behavioral equivalent of reference: DEX-TTS/bigvgan/models.py:35-218,
+bigvgan/activations.py:9-119, bigvgan/alias_free_torch/{filter,resample,
+act}.py. Each AMP-block activation is 2× Kaiser-sinc upsample → snake /
+snakebeta → 2× Kaiser-sinc downsample. Defaults match the released
+bigvgan_22khz_80band checkpoint config (the weights dir the reference
+loads at src/utils.py:266-274).
+
+All filters are fixed buffers computed in numpy; depthwise convs run as
+grouped XLA convolutions in NWC layout.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class BigVGANConfig:
+    num_mels: int = 80
+    upsample_rates: tuple = (4, 4, 2, 2, 2, 2)
+    upsample_kernel_sizes: tuple = (8, 8, 4, 4, 4, 4)
+    upsample_initial_channel: int = 1536
+    resblock: str = "1"
+    resblock_kernel_sizes: tuple = (3, 7, 11)
+    resblock_dilation_sizes: tuple = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    activation: str = "snakebeta"
+    snake_logscale: bool = True
+
+
+def kaiser_sinc_filter(cutoff: float, half_width: float, kernel_size: int):
+    """Kaiser-windowed sinc low-pass, sum-normalized.
+    reference: bigvgan/alias_free_torch/filter.py:28-57."""
+    even = kernel_size % 2 == 0
+    half_size = kernel_size // 2
+    delta_f = 4 * half_width
+    a = 2.285 * (half_size - 1) * np.pi * delta_f + 7.95
+    if a > 50.0:
+        beta = 0.1102 * (a - 8.7)
+    elif a >= 21.0:
+        beta = 0.5842 * (a - 21) ** 0.4 + 0.07886 * (a - 21.0)
+    else:
+        beta = 0.0
+    window = np.kaiser(kernel_size, beta)
+    if even:
+        time = np.arange(-half_size, half_size) + 0.5
+    else:
+        time = np.arange(kernel_size) - half_size
+    filt = 2 * cutoff * window * np.sinc(2 * cutoff * time)
+    filt /= filt.sum()
+    return filt.astype(np.float32)
+
+
+def _depthwise_conv(x, filt, stride: int):
+    """Depthwise correlate (B, T, C) with a shared 1-D filter."""
+    c = x.shape[-1]
+    kernel = jnp.tile(jnp.asarray(filt)[:, None, None], (1, 1, c))
+    import jax.lax as lax
+
+    return lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride,),
+        padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=c,
+    )
+
+
+def upsample2x_antialias(x, ratio: int = 2):
+    """Zero-stuff ×ratio then Kaiser-sinc interpolate — equivalent to the
+    reference's conv_transpose formulation
+    (reference: bigvgan/alias_free_torch/resample.py:10-33)."""
+    k = int(6 * ratio // 2) * 2
+    pad = k // ratio - 1
+    pad_left = pad * ratio + (k - ratio) // 2
+    pad_right = pad * ratio + (k - ratio + 1) // 2
+    filt = kaiser_sinc_filter(0.5 / ratio, 0.6 / ratio, k) * ratio
+
+    b, t, c = x.shape
+    x = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="edge")
+    # zero-stuff: (B, T', C) → (B, T'·ratio, C)
+    stuffed = jnp.zeros((b, x.shape[1] * ratio, c), x.dtype)
+    stuffed = stuffed.at[:, ::ratio, :].set(x)
+    # conv_transpose(filter) on stuffed input == correlation with the
+    # flipped filter; the kaiser-sinc filter is symmetric for even k
+    out = _depthwise_conv(
+        jnp.pad(stuffed, ((0, 0), (k - 1, k - 1), (0, 0))), filt[::-1], 1
+    )
+    return out[:, pad_left : pad_left + ratio * t, :]
+
+
+def downsample2x_antialias(x, ratio: int = 2):
+    """Kaiser-sinc low-pass + decimate.
+    reference: bigvgan/alias_free_torch/resample.py:36-48."""
+    k = int(6 * ratio // 2) * 2
+    even = k % 2 == 0
+    pad_left = k // 2 - int(even)
+    pad_right = k // 2
+    filt = kaiser_sinc_filter(0.5 / ratio, 0.6 / ratio, k)
+    x = jnp.pad(x, ((0, 0), (pad_left, pad_right), (0, 0)), mode="edge")
+    return _depthwise_conv(x, filt, ratio)
+
+
+class SnakeActivation1d(nn.Module):
+    """2× anti-aliased snake/snakebeta: up → x + (1/β)·sin²(αx) → down.
+    reference: bigvgan/alias_free_torch/act.py + activations.py:9-119."""
+
+    channels: int
+    variant: str = "snakebeta"  # snake | snakebeta
+    logscale: bool = True
+
+    @nn.compact
+    def __call__(self, x):  # (B, T, C)
+        init = nn.initializers.zeros if self.logscale else nn.initializers.ones
+        alpha = self.param("alpha", init, (self.channels,))
+        if self.variant == "snakebeta":
+            beta = self.param("beta", init, (self.channels,))
+        else:
+            beta = alpha
+        if self.logscale:
+            alpha, beta = jnp.exp(alpha), jnp.exp(beta)
+
+        x = upsample2x_antialias(x)
+        x = x + (1.0 / (beta + 1e-9)) * jnp.sin(x * alpha) ** 2
+        return downsample2x_antialias(x)
+
+
+class AMPBlock1(nn.Module):
+    """3× [act → dilated conv → act → conv → +x].
+    reference: DEX-TTS/bigvgan/models.py:35-94."""
+
+    channels: int
+    kernel_size: int
+    dilations: tuple
+    variant: str
+    logscale: bool
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilations):
+            h = SnakeActivation1d(
+                self.channels, self.variant, self.logscale, name=f"act1_{i}"
+            )(x)
+            pad = (self.kernel_size * d - d) // 2
+            h = nn.Conv(
+                self.channels,
+                (self.kernel_size,),
+                kernel_dilation=(d,),
+                padding=[(pad, pad)],
+                name=f"conv1_{i}",
+            )(h)
+            h = SnakeActivation1d(
+                self.channels, self.variant, self.logscale, name=f"act2_{i}"
+            )(h)
+            pad = (self.kernel_size - 1) // 2
+            h = nn.Conv(
+                self.channels,
+                (self.kernel_size,),
+                padding=[(pad, pad)],
+                name=f"conv2_{i}",
+            )(h)
+            x = x + h
+        return x
+
+
+class AMPBlock2(nn.Module):
+    """2× [act → dilated conv → +x].
+    reference: DEX-TTS/bigvgan/models.py:97-137."""
+
+    channels: int
+    kernel_size: int
+    dilations: tuple
+    variant: str
+    logscale: bool
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilations[:2]):
+            h = SnakeActivation1d(
+                self.channels, self.variant, self.logscale, name=f"act_{i}"
+            )(x)
+            pad = (self.kernel_size * d - d) // 2
+            h = nn.Conv(
+                self.channels,
+                (self.kernel_size,),
+                kernel_dilation=(d,),
+                padding=[(pad, pad)],
+                name=f"conv_{i}",
+            )(h)
+            x = x + h
+        return x
+
+
+class BigVGANGenerator(nn.Module):
+    """reference: DEX-TTS/bigvgan/models.py:138-218."""
+
+    cfg: BigVGANConfig = field(default_factory=BigVGANConfig)
+
+    @nn.compact
+    def __call__(self, mel):
+        """mel: (B, num_mels, T) → wav (B, T·Πrates) in [-1, 1]."""
+        cfg = self.cfg
+        x = mel.swapaxes(1, 2)
+        x = nn.Conv(
+            cfg.upsample_initial_channel, (7,), padding=[(3, 3)], name="conv_pre"
+        )(x)
+
+        block_cls = AMPBlock1 if cfg.resblock == "1" else AMPBlock2
+        for i, (u, k) in enumerate(
+            zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)
+        ):
+            ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+            p = k - 1 - (k - u) // 2  # torch p=(k-u)//2 → flax k-1-p
+            x = nn.ConvTranspose(
+                ch,
+                (k,),
+                strides=(u,),
+                padding=[(p, p)],
+                transpose_kernel=True,
+                name=f"up_{i}",
+            )(x)
+            acc = None
+            for j, (rk, rd) in enumerate(
+                zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+            ):
+                out = block_cls(
+                    ch, rk, tuple(rd), cfg.activation, cfg.snake_logscale,
+                    name=f"resblock_{i}_{j}",
+                )(x)
+                acc = out if acc is None else acc + out
+            x = acc / len(cfg.resblock_kernel_sizes)
+
+        x = SnakeActivation1d(
+            ch, cfg.activation, cfg.snake_logscale, name="act_post"
+        )(x)
+        x = nn.Conv(1, (7,), padding=[(3, 3)], name="conv_post")(x)
+        return jnp.tanh(x)[:, :, 0]
