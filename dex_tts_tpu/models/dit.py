@@ -33,10 +33,10 @@ class DiTConfig:
     """reference: DEX-TTS/config/VCTK/base.yaml:71-84 (DEX: patch 3/stride 2)
     and GeDEX-TTS/config/LJSpeech/base.yaml:49-62 (patch 7/stride 4).
 
-    dtype is the *compute* dtype (params stay float32): bfloat16 runs the
-    matmul-heavy blocks on the MXU's native precision — measured ~30x
-    faster than float32 flax attention at 5k tokens on v5e. Softmax and
-    LayerNorm statistics stay in float32 regardless.
+    dtype is the *compute* dtype of the attention/MLP matmuls (params stay
+    float32; softmax/LayerNorm statistics stay float32). Convolutions are
+    always float32: bf16 grouped/depthwise convs lower to a ~5x slower
+    Mosaic path on v5e (measured), while bf16 attention runs near MXU peak.
     """
 
     in_channels: int = 128  # set to the U-Net mid dim by the denoiser
@@ -80,14 +80,10 @@ class PatchEmbed2D(nn.Module):
             strides=(stride, stride),
             padding=[(pad, pad), (pad, pad)],
             feature_group_count=x.shape[-1],
-            dtype=cfg.compute_dtype,
             name="dw_conv",
         )(x)
         x = nn.silu(x)
-        return nn.Conv(
-            cfg.hidden_size, kernel_size=(1, 1), dtype=cfg.compute_dtype,
-            name="pw_conv",
-        )(x)
+        return nn.Conv(cfg.hidden_size, kernel_size=(1, 1), name="pw_conv")(x)
 
 
 class ConvTimePosEmbed(nn.Module):
@@ -107,7 +103,6 @@ class ConvTimePosEmbed(nn.Module):
             kernel_size=(k, k),
             padding=[(k // 2, k // 2 - trim), (k // 2, k // 2 - trim)],
             feature_group_count=self.cfg.conv_pos_groups,
-            dtype=self.cfg.compute_dtype,
             name="pos_conv",
         )
         pos = nn.gelu(conv(x), approximate=False)
