@@ -137,6 +137,9 @@ class SamplerConfig:
     s_min: float = 0.0
     s_max: float = float("inf")
     s_noise: float = 1.0
+    # lax.scan unroll factor for the sampling loop (1 = rolled). XLA fuses
+    # unrolled bodies better; compile time grows with the factor.
+    unroll: int = 1
 
 
 def _schedule_fns(cfg: SamplerConfig, vp_beta_d: float, vp_beta_min: float):
@@ -303,13 +306,18 @@ def ablation_sampler(
         sigma_b = jnp.full((b,), sigma_scalar, latents.dtype)
         return apply_precond(denoise_fn, x, sigma_b, sigma_data, **cond)
 
+    churn = cfg.s_churn > 0
+
     def step(carry, per_step):
         x, key = carry
-        key, sub = jax.random.split(key)
-        # churn (no-op when s_churn == 0)
-        x_hat = per_step["ratio_s"] * x + per_step["churn_std"] * (
-            jax.random.normal(sub, x.shape, x.dtype)
-        )
+        if churn:
+            key, sub = jax.random.split(key)
+            x_hat = per_step["ratio_s"] * x + per_step["churn_std"] * (
+                jax.random.normal(sub, x.shape, x.dtype)
+            )
+        else:
+            # s(t_hat)/s(t_cur) == 1 when there is no churn (t_hat == t_cur)
+            x_hat = per_step["ratio_s"] * x
         den = denoised_at(x_hat * per_step["inv_s_hat"], per_step["sigma_hat"])
         d_cur = per_step["a_hat"] * x_hat - per_step["b_hat"] * den
         x_euler = x_hat + per_step["h"] * d_cur
@@ -331,5 +339,7 @@ def ablation_sampler(
 
     x0 = latents * sched["x_init_scale"]
     per_step = {k: v for k, v in sched.items() if k != "x_init_scale"}
-    (x, _), _ = jax.lax.scan(step, (x0, key), per_step)
+    (x, _), _ = jax.lax.scan(
+        step, (x0, key), per_step, unroll=max(1, cfg.unroll)
+    )
     return x

@@ -52,9 +52,12 @@ class BiGRU(nn.Module):
     @nn.compact
     def __call__(self, x):  # (B, T, C)
         for i in range(self.num_layers):
-            fwd = nn.RNN(nn.GRUCell(self.hidden), name=f"fwd_{i}")(x)
-            bwd = nn.RNN(nn.GRUCell(self.hidden), reverse=True,
-                         keep_order=True, name=f"bwd_{i}")(x)
+            fwd = nn.RNN(nn.GRUCell(self.hidden, name=f"fwd_{i}"))(x)
+            bwd = nn.RNN(
+                nn.GRUCell(self.hidden, name=f"bwd_{i}"),
+                reverse=True,
+                keep_order=True,
+            )(x)
             x = jnp.concatenate([fwd, bwd], axis=-1)
         return x
 
@@ -231,7 +234,9 @@ class TIVEncoder(nn.Module):
             ) * mask
             skips.append(x)
             x = instance_norm_1d(x)
-        x = BasicConv(self.c_out, 3, relu=False, norm_type="bn", name="out_conv")(
+        # NB: the reference's out_conv keeps the default relu=True
+        # (ref_encoder.py:93 — only `norm` is passed)
+        x = BasicConv(self.c_out, 3, relu=True, norm_type="bn", name="out_conv")(
             x * mask, train=train
         ) * mask
         return x, skips
