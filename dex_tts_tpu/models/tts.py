@@ -121,7 +121,10 @@ class GeDEXTTS(nn.Module):
             use_style=self.use_style,
             n_spks=self.n_spks,
             spk_emb_dim=self.spk_emb_dim,
-            dtype=self.compute_dtype,
+            # U-Net convs stay float32 unconditionally: bf16 convs lower to
+            # a ~5x slower Mosaic path on v5e. compute_dtype reaches only
+            # the DiT attention/MLP matmuls (via dit_cfg).
+            dtype="float32",
         )
 
     # -- shared pieces ------------------------------------------------------
