@@ -108,6 +108,21 @@ class TextMelDataset:
             item["emotion"] = line[3]
         return item
 
+    def sample_test_batch(self, size: int) -> list[dict]:
+        """Random sample of items for periodic train-time synthesis.
+        reference: DEX-TTS/src/dataset.py:93-99."""
+        idx = self.rng.choice(len(self), size=size, replace=False)
+        return [self[int(i)] for i in idx]
+
+    def get_sample_idx(self, spk_list: list[int]) -> list[int]:
+        """Indices of items whose speaker is in spk_list.
+        reference: DEX-TTS/src/dataset.py:101-108."""
+        out = []
+        for i, line in enumerate(self.filelist):
+            if len(line) > 2 and int(line[2]) in spk_list:
+                out.append(i)
+        return out
+
     def eval_item(self, index: int) -> dict:
         item = self[index]
         line = self.filelist[index]

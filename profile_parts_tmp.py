@@ -1,57 +1,36 @@
 import time, jax, jax.numpy as jnp, numpy as np
-from __graft_entry__ import _full_size_dex, _style_inputs
-from dex_tts_tpu.models.dit import DiTConfig
-from dex_tts_tpu.models.unet import DiffusionDenoiser
-from dex_tts_tpu.models.edm import SamplerConfig, ablation_sampler
-from dex_tts_tpu.models.tts import DeXTTS
+from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention, BlockSizes, SegmentIds
 
-b, ty, t_ref, N = 8, 1024, 256, 8
+B, H, T, D = 8, 2, 5140, 128
 rng = np.random.default_rng(0)
-r = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
-mu_y = r(b, 80, ty); mask3 = jnp.ones((b, 1, ty))
-sty_dec = r(b, t_ref, 128); rm, rs = r(b, 6, 128), r(b, 6, 128)
-sl = jnp.full((b,), t_ref, jnp.int32)
-key = jax.random.PRNGKey(0)
+r = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32) * 0.1
+q, k, v = r(B,H,T,D), r(B,H,T,D), r(B,H,T,D)
 
-def bench(fn, *args, iters=3):
-    out = fn(*args); float(jnp.sum(jax.tree.leaves(out)[0]))
-    ts = []
+def bench(fn, iters=5):
+    out = fn(q, k, v); float(jnp.sum(out))
+    t0 = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
-        out = fn(*args); float(jnp.sum(jax.tree.leaves(out)[0]))
-        ts.append(time.perf_counter() - t0)
-    return ts
+        out = fn(q, k, v); float(jnp.sum(out))
+    return (time.perf_counter() - t0) / iters
 
-dit_cfg = DiTConfig(patch_size=3, stride_size=2, hidden_size=256, depth=4,
-                    num_heads=2, mlp_ratio=2.0, conv_pos=16, conv_pos_groups=8,
-                    in_channels=128, grid_h=20)
-den = DiffusionDenoiser(dim=64, dim_mults=(1,2), n_feats=80, dit_cfg=dit_cfg, use_style=True)
-vd = jax.jit(lambda: den.init(key, mu_y, mask3, mu_y, jnp.zeros((b,)),
-             ref=(rm, rs), sty=sty_dec, sty_lengths=sl))()
+def make(bq, bk, dtype, Tp):
+    def f(q, k, v):
+        pad = Tp - T
+        qp = jnp.pad(q, ((0,0),(0,0),(0,pad),(0,0))).astype(dtype)
+        kp = jnp.pad(k, ((0,0),(0,0),(0,pad),(0,0))).astype(dtype)
+        vp = jnp.pad(v, ((0,0),(0,0),(0,pad),(0,0))).astype(dtype)
+        seg = (jnp.arange(Tp) >= T).astype(jnp.int32)[None].repeat(B, 0)
+        out = flash_attention(qp, kp, vp, segment_ids=SegmentIds(q=seg, kv=seg),
+                              sm_scale=D ** -0.5,
+                              block_sizes=BlockSizes(block_q=bq, block_k_major=bk, block_k=bk, block_b=1))
+        return out[:, :, :T, :].astype(jnp.float32)
+    return jax.jit(f)
 
-def fast(v, key, x, mask3_, mu_, rm_, rs_, sty_, sl_):
-    def dfn(z, t):
-        return den.apply(v, z, mask3_, mu_, t, ref=(rm_, rs_), sty=sty_, sty_lengths=sl_)
-    return ablation_sampler(key, dfn, x, SamplerConfig(num_steps=N))
-
-model = _full_size_dex()
-x = jnp.ones((b, 96), jnp.int32); xl = jnp.full((b,), 96, jnp.int32)
-style = _style_inputs(b, 80, t_ref)
-@jax.jit
-def _init():
-    return model.init({"params": key, "dropout": key}, key, x, xl,
-                      y_max_length=ty, sampler=SamplerConfig(num_steps=2),
-                      **style, method=DeXTTS.synthesize)
-v = _init()
-def slow(v, key, x0, mask3_, mu_, rm_, rs_, sty_, sl_):
-    def dfn(z, t):
-        return model.apply(v, method=lambda m: m.decoder(
-            z, mask3_, mu_, t, ref=(rm_, rs_), sty=sty_, sty_lengths=sl_, train=False))
-    return ablation_sampler(key, dfn, x0, SamplerConfig(num_steps=N))
-
-fj = jax.jit(fast); sj = jax.jit(slow)
-a = (key, mu_y, mask3, mu_y, rm, rs, sty_dec, sl)
-print("fast:", ["%.3f" % t for t in bench(fj, vd, *a)], flush=True)
-print("slow:", ["%.3f" % t for t in bench(sj, v, *a)], flush=True)
-print("fast again:", ["%.3f" % t for t in bench(fj, vd, *a)], flush=True)
-print("slow again:", ["%.3f" % t for t in bench(sj, v, *a)], flush=True)
+for bq, bk, dt, tp in [(512,512,jnp.bfloat16,5632), (1024,1024,jnp.bfloat16,6144),
+                        (2048,1024,jnp.bfloat16,6144), (1024,512,jnp.bfloat16,5632),
+                        (2048,2048,jnp.bfloat16,6144), (512,1024,jnp.bfloat16,6144)]:
+    try:
+        t = bench(make(bq, bk, dt, tp))
+        print(f"bq={bq} bk={bk} Tp={tp}: {t:.4f}s", flush=True)
+    except Exception as e:
+        print(f"bq={bq} bk={bk}: ERR {str(e)[:70]}", flush=True)
