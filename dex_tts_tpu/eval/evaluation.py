@@ -37,8 +37,10 @@ def load_vocoder(cfg):
     """HiFi-GAN with converted torch weights when present, else random
     (useful for smoke runs). reference: DEX-TTS/src/utils.py:251-281."""
     from dex_tts_tpu.convert import hifigan_torch_to_flax, load_torch_checkpoint
+    from dex_tts_tpu.models.vocoder.hifigan import HiFiGANConfig
 
-    voc = HiFiGANGenerator()
+    n_mels = int(cfg.get("preprocess", {}).get("n_mels", 80))
+    voc = HiFiGANGenerator(HiFiGANConfig(num_mels=n_mels))
     path = cfg.path.get("vocoder_path", "")
     candidates = (
         [
@@ -56,7 +58,7 @@ def load_vocoder(cfg):
             return voc, params
     import jax.numpy as jnp
 
-    params = voc.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 16)))["params"]
+    params = voc.init(jax.random.PRNGKey(0), jnp.zeros((1, n_mels, 16)))["params"]
     return voc, params
 
 
@@ -135,12 +137,13 @@ def run_objective_eval(
         key, sub = jax.random.split(key)
         kwargs = {}
         if "ref" in item:
-            # in-dataset reference features: reuse directly
-            kwargs["ref_wavs"] = None
+            # in-dataset reference features (ref == sty, same mel)
+            kwargs["ref_feats"] = [(item["ref"], item["lf0"])]
         out = synth.tts(
             [item["raw_text"]],
             key=sub,
             temperature=float(cfg.get("test", {}).get("temperature", 1.5)),
+            **kwargs,
         )[0]
         wav_path = os.path.join(out_dir, f"{i:03d}_syn.wav")
         write_wav(wav_path, out["wav"])

@@ -138,7 +138,9 @@ class VQEmbeddingEMA(nn.Module):
             "vq_stats", "ema_count", lambda: jnp.zeros((m,))
         )
         ema_weight = self.variable(
-            "vq_stats", "ema_weight", lambda: embedding.value
+            # copy: aliasing the embedding buffer breaks donation (the train
+            # step would donate the same buffer twice)
+            "vq_stats", "ema_weight", lambda: jnp.array(embedding.value)
         )
 
         x = x * mask

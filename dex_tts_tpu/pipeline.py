@@ -166,6 +166,7 @@ class Synthesizer:
         length_scale: float = 1.0,
         spk_ids: Sequence[int] | None = None,
         ref_wavs: Sequence[str] | None = None,
+        ref_feats: Sequence[tuple] | None = None,
         vocode: bool = True,
         max_frames: int = 2048,
     ) -> list[dict]:
@@ -191,8 +192,14 @@ class Synthesizer:
         if spk_ids is not None:
             inputs["spk"] = jnp.asarray(np.asarray(spk_ids, np.int32))
 
-        if ref_wavs is not None:
-            mels, lf0s = zip(*[self.prepare_reference(p) for p in ref_wavs])
+        if ref_wavs is not None or ref_feats is not None:
+            if ref_wavs is not None:
+                mels, lf0s = zip(*[self.prepare_reference(p) for p in ref_wavs])
+            else:
+                # pre-extracted (mel (F, T), lf0 (T,)) pairs, e.g. dataset
+                # features (reference: DEX-TTS/src/evaluation.py uses the
+                # dataset's own ref/sty/lf0 for objective eval)
+                mels, lf0s = zip(*ref_feats)
             t_max = _bucket(max(m.shape[1] for m in mels), self.y_quantum, 4)
             ref = np.zeros((b, mels[0].shape[0], t_max), np.float32)
             lf0 = np.zeros((b, t_max), np.float32)

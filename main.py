@@ -74,6 +74,57 @@ def compute_out_size(cfg) -> int | None:
     )
 
 
+def make_synthesis_callback(cfg, model, args, n_samples: int = 2):
+    """Periodic train-time synthesis (reference: DEX-TTS/src/train.py:176-178
+    runs a Tester every syn_every epochs). Writes wavs + mel-MAE into
+    exp_dir/sample."""
+    from dex_tts_tpu.audio.wav import write_wav
+    from dex_tts_tpu.data import TextMelDataset
+    from dex_tts_tpu.eval.evaluation import load_vocoder
+    from dex_tts_tpu.eval.metric import mel_mae
+    from dex_tts_tpu.models.edm import SamplerConfig
+    from dex_tts_tpu.pipeline import Synthesizer
+
+    def syn_fn(state, epoch):
+        try:
+            ds = TextMelDataset(
+                cfg.path.val_path,
+                cmu_path=cfg.path.get("cmu_path"),
+                add_blank=cfg.model.get("add_blank", True),
+                load_style=cfg.get("model_family", "dex") == "dex",
+            )
+            voc, voc_params = load_vocoder(cfg)
+            variables = {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "vq_stats": state.vq_stats,
+            }
+            synth = Synthesizer(
+                model, variables, vocoder=voc, vocoder_params=voc_params,
+                cmu_path=cfg.path.get("cmu_path"),
+                sampler=SamplerConfig(num_steps=args.n_timesteps),
+            )
+            out_dir = os.path.join(cfg.exp_dir, "sample")
+            os.makedirs(out_dir, exist_ok=True)
+            for i in range(min(n_samples, len(ds))):
+                item = ds.eval_item(i)
+                kwargs = {}
+                if "ref" in item:
+                    kwargs["ref_feats"] = [(item["ref"], item["lf0"])]
+                out = synth.tts(
+                    [item["raw_text"]], key=jax.random.PRNGKey(i), **kwargs
+                )[0]
+                write_wav(
+                    os.path.join(out_dir, f"epoch{epoch}_{i}.wav"), out["wav"]
+                )
+                mae = mel_mae(item["y"], out["mel"])
+                print(f"  syn sample {i}: mel_mae={mae:.4f}")
+        except Exception as exc:  # pragma: no cover - best-effort monitoring
+            print(f"  periodic synthesis failed: {exc}")
+
+    return syn_fn
+
+
 def train(args):
     cfg = Config(args.config)
     seed_init(args.seed)
@@ -94,6 +145,7 @@ def train(args):
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
     print(f"model params: {n_params / 1e6:.2f} M | out_size: {out_size}")
 
+    syn_fn = make_synthesis_callback(cfg, model, args)
     trainer = Trainer(
         model,
         state,
@@ -103,6 +155,8 @@ def train(args):
         ema_decay=float(cfg.train.get("ema_decay", 0.9999)),
         mask_ratio=float(cfg.train.get("mask_ratio", 0.0)),
         save_epoch=int(cfg.train.get("save_epoch", 200)),
+        syn_every=int(cfg.train.get("syn_every", 0)),
+        syn_fn=syn_fn,
     )
     if args.resume and trainer.ckpt.exists("last"):
         trainer.state = trainer.ckpt.restore(state, "last")

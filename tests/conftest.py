@@ -6,6 +6,7 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the driver presets axon (TPU)
+os.environ.setdefault("HF_HUB_OFFLINE", "1")  # no network: skip hub retries
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,117 @@
+"""End-to-end smoke: synthetic corpus → preprocess-format features →
+main.py train (tiny config, few epochs) → loss decreases → checkpoints →
+objective eval produces finite audio + metrics."""
+
+import json
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from dex_tts_tpu.utils import Config
+
+
+def make_corpus(root, n=12, n_mels=16, seed=0):
+    rng = np.random.default_rng(seed)
+    mel_dir = os.path.join(root, "mel", "spk0")
+    lf0_dir = os.path.join(root, "lf0", "spk0")
+    os.makedirs(mel_dir, exist_ok=True)
+    os.makedirs(lf0_dir, exist_ok=True)
+    texts = ["hello there", "see the cat", "go now", "a fine day today"]
+    lines = []
+    for i in range(n):
+        t = 24 + int(rng.integers(0, 24))
+        mel = rng.standard_normal((t, n_mels)).astype(np.float32) * 0.5
+        lf0 = rng.standard_normal(t).astype(np.float32)
+        lf0[::3] = 0.0
+        mel_path = os.path.join(mel_dir, f"spk0-mel-{i:03d}.npy")
+        np.save(mel_path, mel)
+        np.save(os.path.join(lf0_dir, f"spk0-lf0-{i:03d}.npy"), lf0)
+        lines.append(f"{mel_path}|{texts[i % len(texts)]}|0")
+    for name, subset in (("train.txt", lines[:8]), ("valid.txt", lines[8:])):
+        with open(os.path.join(root, name), "w") as f:
+            f.write("\n".join(subset))
+    return root
+
+
+def tiny_cfg(root, family):
+    cfg = {
+        "model_family": family,
+        "dataset": "Tiny",
+        "checkpoint": os.path.join(root, "checkpoints"),
+        "path": {
+            "train_path": os.path.join(root, "train.txt"),
+            "val_path": os.path.join(root, "valid.txt"),
+            "cmu_path": None,
+            "vocoder_path": "",
+        },
+        "preprocess": {"sample_rate": 22050, "n_mels": 16, "n_fft": 1024,
+                        "hop_length": 256, "win_length": 1024, "f_min": 0,
+                        "f_max": 8000},
+        "model": {
+            "add_blank": True,
+            "n_feats": 16,
+            "n_spks": 1,
+            "spk_emb_dim": 8,
+            "encoder": {"n_channels": 24, "filter_channels": 32,
+                         "filter_channels_dp": 16, "n_layers": 1,
+                         "kernel_size": 3, "p_dropout": 0.1, "n_heads": 2,
+                         "use_softmax": True, "use_decay": False},
+            "decoder": {"dim": 8, "pe_scale": 1000, "dim_mults": [1, 2],
+                         "loss_type": "base"},
+            "dit": {"patch_size": 3, "stride_size": 2, "hidden_size": 16,
+                     "depth": 1, "num_heads": 2, "mlp_ratio": 2,
+                     "conv_pos": 4, "conv_pos_groups": 2},
+            "tv_encoder": {"c_in": 16, "num_layer": 1, "c_h": 8, "c_out": 12,
+                            "c_out_g": 12, "commit_w": 0.25, "n_emb": 8},
+            "lf0_encoder": {"c_in": 1, "c_h": 8, "c_out": 12, "c_out_g": 12,
+                             "num_layer": 1},
+            "tiv_encoder": {"c_in": 16, "num_layer": 1, "c_h": 16, "c_out": 8},
+        },
+        "train": {"epoch": 2, "batch_size": 4, "save_epoch": 0,
+                   "syn_every": 0, "fix_len": 0.25, "out_size": True,
+                   "lr": 1e-3, "max_grad": 1, "ema_decay": 0.99,
+                   "mask_ratio": 0, "aug_type": ["N", "N", "N"],
+                   "x_quantum": 8, "y_quantum": 16},
+        "test": {"ema": False, "n_timesteps": 2, "temperature": 1.5},
+    }
+    return Config(cfg)
+
+
+@pytest.mark.parametrize("family", ["gedex", "dex"])
+def test_train_and_eval_end_to_end(tmp_path, family, monkeypatch):
+    import main as main_mod
+
+    root = make_corpus(str(tmp_path))
+    cfg = tiny_cfg(root, family)
+    cfg_path = os.path.join(root, "cfg.yaml")
+    cfg.dump(cfg_path)
+
+    args = types.SimpleNamespace(
+        config=cfg_path, seed=100, n_timesteps=2, resume=False, tag=None,
+        test_checkpoint=None, test_file=None, sample_size=2, n_devices=None,
+    )
+    main_mod.train(args)
+
+    exp_dirs = os.listdir(cfg.checkpoint)
+    assert len(exp_dirs) == 1
+    exp_dir = os.path.join(cfg.checkpoint, exp_dirs[0])
+    log = open(os.path.join(exp_dir, "log.txt")).read().strip().splitlines()
+    assert len(log) == 2
+    # loss decreased across the 2 epochs
+    losses = [float(line.split("total_loss=")[1].split(" ")[0]) for line in log]
+    assert losses[1] < losses[0]
+    assert os.path.isdir(os.path.join(exp_dir, "ckpt", "best-train"))
+    assert os.path.isdir(os.path.join(exp_dir, "ckpt", "last"))
+
+    # objective eval on the trained checkpoint (mel-MAE; random vocoder)
+    from dex_tts_tpu.eval.evaluation import run_objective_eval
+
+    report = run_objective_eval(
+        Config(cfg_path), exp_dir=exp_dir, sample_size=1, n_timesteps=2
+    )
+    assert "mel_mae" in report
+    assert np.isfinite(report["mel_mae"][0])
+    assert os.path.isfile(os.path.join(exp_dir, "eval", "000_syn.wav"))
