@@ -107,6 +107,75 @@ def rel_pos(config: RetNetEncoderConfig, slen: int, retention_mask: jnp.ndarray)
     )
 
 
+def recurrent_retention(q, k, v, decay):
+    """O(T) recurrent form of decayed retention (the true RetNet mode).
+
+    q, k, v: (B, H, T, D); decay: (H,) log-decay γ.
+    Returns (B, H, T, D) outputs and the final state (B, H, D, D).
+
+    Recurrence (reference: DEX-TTS/model/retention.py:99-107, carried as
+    dead code there — only the parallel form is exercised by the TTS
+    configs): S_t = γ·S_{t-1} + k_tᵀ v_t;  o_t = q_t · S_t.
+    Implemented as a lax.scan so autoregressive serving is one compiled
+    step per token with an explicit state pytree.
+    """
+    gamma = jnp.exp(decay)[None, :, None, None]  # (1, H, 1, 1)
+
+    def step(state, qkv_t):
+        q_t, k_t, v_t = qkv_t  # (B, H, D) each
+        state = gamma * state + k_t[..., :, None] * v_t[..., None, :]
+        out = jnp.einsum("bhd,bhde->bhe", q_t, state)
+        return state, out
+
+    b, h, t, d = q.shape
+    init = jnp.zeros((b, h, d, d), q.dtype)
+    qkv = (q.transpose(2, 0, 1, 3), k.transpose(2, 0, 1, 3), v.transpose(2, 0, 1, 3))
+    state, outs = jax.lax.scan(step, init, qkv)
+    return outs.transpose(1, 2, 0, 3), state
+
+
+def chunkwise_retention(q, k, v, decay, chunk_size: int = 64):
+    """Chunkwise-parallel decayed retention: parallel inside chunks,
+    recurrent across chunks (reference: DEX-TTS/model/retention.py:108-135,
+    dead code there). Equivalent to recurrent_retention; O(T·C) compute
+    with MXU-shaped intra-chunk matmuls."""
+    b, h, t, d = q.shape
+    pad = (-t) % chunk_size
+    if pad:
+        pad_spec = ((0, 0), (0, 0), (0, pad), (0, 0))
+        q, k, v = (jnp.pad(a, pad_spec) for a in (q, k, v))
+    n_chunks = q.shape[2] // chunk_size
+    c = chunk_size
+    reshape = lambda a: a.reshape(b, h, n_chunks, c, d).transpose(2, 0, 1, 3, 4)
+    qc, kc, vc = reshape(q), reshape(k), reshape(v)  # (N, B, H, C, D)
+
+    gamma = jnp.exp(decay)  # (H,)
+    idx = jnp.arange(c, dtype=jnp.float32)
+    # intra-chunk decay D[i, j] = γ^(i-j) for i ≥ j
+    diff = idx[:, None] - idx[None, :]
+    intra = jnp.where(diff >= 0, gamma[:, None, None] ** diff[None], 0.0)
+    # cross-chunk scalings
+    q_decay = gamma[:, None] ** (idx + 1)[None, :]  # (H, C)
+    k_decay = gamma[:, None] ** (c - 1 - idx)[None, :]  # (H, C)
+    cross = gamma**c
+
+    def step(state, qkv_c):
+        q_i, k_i, v_i = qkv_c  # (B, H, C, D)
+        inner = jnp.einsum("bhcd,bhed->bhce", q_i, k_i) * intra[None]
+        out = jnp.einsum("bhce,bhed->bhcd", inner, v_i)
+        out += jnp.einsum(
+            "bhcd,bhde,hc->bhce", q_i, state, q_decay
+        )
+        kv = jnp.einsum("bhcd,bhce,hc->bhde", k_i, v_i, k_decay)
+        state = cross[None, :, None, None] * state + kv
+        return state, out
+
+    init = jnp.zeros((b, h, d, d), q.dtype)
+    state, outs = jax.lax.scan(step, init, (qc, kc, vc))
+    outs = outs.transpose(1, 2, 0, 3, 4).reshape(b, h, -1, d)
+    return outs[:, :, :t, :], state
+
+
 class MultiScaleRetention(nn.Module):
     """Parallel-form retention head. With use_softmax=True this is softmax
     attention over rotary-shifted q/k with a per-head decay/padding mask and

@@ -1,36 +1,40 @@
 import time, jax, jax.numpy as jnp, numpy as np
-from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention, BlockSizes, SegmentIds
+import flax.linen as nn
+from dex_tts_tpu.models.unet import ResnetBlock, Block
 
-B, H, T, D = 8, 2, 5140, 128
+B = 8
 rng = np.random.default_rng(0)
-r = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32) * 0.1
-q, k, v = r(B,H,T,D), r(B,H,T,D), r(B,H,T,D)
+r = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
 
-def bench(fn, iters=5):
-    out = fn(q, k, v); float(jnp.sum(out))
+def bench(fn, *args, iters=5):
+    out = fn(*args); float(jnp.sum(jax.tree.leaves(out)[0]))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(q, k, v); float(jnp.sum(out))
+        out = fn(*args); float(jnp.sum(jax.tree.leaves(out)[0]))
     return (time.perf_counter() - t0) / iters
 
-def make(bq, bk, dtype, Tp):
-    def f(q, k, v):
-        pad = Tp - T
-        qp = jnp.pad(q, ((0,0),(0,0),(0,pad),(0,0))).astype(dtype)
-        kp = jnp.pad(k, ((0,0),(0,0),(0,pad),(0,0))).astype(dtype)
-        vp = jnp.pad(v, ((0,0),(0,0),(0,pad),(0,0))).astype(dtype)
-        seg = (jnp.arange(Tp) >= T).astype(jnp.int32)[None].repeat(B, 0)
-        out = flash_attention(qp, kp, vp, segment_ids=SegmentIds(q=seg, kv=seg),
-                              sm_scale=D ** -0.5,
-                              block_sizes=BlockSizes(block_q=bq, block_k_major=bk, block_k=bk, block_b=1))
-        return out[:, :, :T, :].astype(jnp.float32)
-    return jax.jit(f)
+triv = jax.jit(lambda x: x + 1.0)
+OVER = bench(triv, r(8, 8), iters=10)
+print("overhead %.4f" % OVER, flush=True)
 
-for bq, bk, dt, tp in [(512,512,jnp.bfloat16,5632), (1024,1024,jnp.bfloat16,6144),
-                        (2048,1024,jnp.bfloat16,6144), (1024,512,jnp.bfloat16,5632),
-                        (2048,2048,jnp.bfloat16,6144), (512,1024,jnp.bfloat16,6144)]:
-    try:
-        t = bench(make(bq, bk, dt, tp))
-        print(f"bq={bq} bk={bk} Tp={tp}: {t:.4f}s", flush=True)
-    except Exception as e:
-        print(f"bq={bq} bk={bk}: ERR {str(e)[:70]}", flush=True)
+# 4 conv3x3 at full res, chained (the raw matmul cost)
+class Convs(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        for i in range(4):
+            x = nn.Conv(64, (3,3), padding=[(1,1),(1,1)])(x)
+        return x
+x = r(B, 80, 1024, 64)
+m = Convs(); v = jax.jit(lambda: m.init(jax.random.PRNGKey(0), x))()
+print("4x conv3x3 (80,1024,64): %.4f" % (bench(jax.jit(lambda v,x: m.apply(v,x)), v, x) - OVER), flush=True)
+
+# 2 full ResnetBlocks at full res (8 elementwise-heavy stages)
+class Blocks(nn.Module):
+    @nn.compact
+    def __call__(self, x, mask, t):
+        x = ResnetBlock(64, name="a")(x, mask, t)
+        x = ResnetBlock(64, name="b")(x, mask, t)
+        return x
+mask = jnp.ones((B,1,1024,1)); t = r(B, 64)
+mb = Blocks(); vb = jax.jit(lambda: mb.init(jax.random.PRNGKey(0), x, mask, t))()
+print("2x ResnetBlock (80,1024,64): %.4f" % (bench(jax.jit(lambda v,x: mb.apply(v,x,mask,t)), vb, x) - OVER), flush=True)
