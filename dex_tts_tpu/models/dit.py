@@ -65,7 +65,21 @@ class DiTConfig:
 
 def modulate(x, shift, scale):
     """reference: DEX-TTS/model/dit.py:72-73."""
-    return x * (1 + scale[:, None, :]) + shift[:, None, :]
+    one = jnp.asarray(1, x.dtype)
+    return x * (one + scale[:, None, :].astype(x.dtype)) + shift[
+        :, None, :
+    ].astype(x.dtype)
+
+
+def layer_norm_f32_stats(x, eps=1e-6):
+    """Affine-free LayerNorm: statistics in f32, application in x.dtype —
+    avoids f32/bf16 tiling boundaries on the big token tensor (the flax
+    LayerNorm promotes the whole activation)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf**2, axis=-1, keepdims=True) - mean**2
+    inv = jax.lax.rsqrt(var + eps)
+    return (x - mean.astype(x.dtype)) * inv.astype(x.dtype)
 
 
 class PatchEmbed2D(nn.Module):
@@ -79,16 +93,20 @@ class PatchEmbed2D(nn.Module):
         p, s = cfg.patch_size, cfg.stride_size
         pad = p // 2 if cfg.overlap else 0
         stride = s if cfg.overlap else p
+        dt = cfg.compute_dtype
         x = nn.Conv(
             features=x.shape[-1],
             kernel_size=(p, p),
             strides=(stride, stride),
             padding=[(pad, pad), (pad, pad)],
             feature_group_count=x.shape[-1],
+            dtype=dt,
             name="dw_conv",
-        )(x)
+        )(x.astype(dt))
         x = nn.silu(x)
-        return nn.Conv(cfg.hidden_size, kernel_size=(1, 1), name="pw_conv")(x)
+        return nn.Conv(
+            cfg.hidden_size, kernel_size=(1, 1), dtype=dt, name="pw_conv"
+        )(x)
 
 
 class ConvTimePosEmbed(nn.Module):
@@ -108,9 +126,10 @@ class ConvTimePosEmbed(nn.Module):
             kernel_size=(k, k),
             padding=[(k // 2, k // 2 - trim), (k // 2, k // 2 - trim)],
             feature_group_count=self.cfg.conv_pos_groups,
+            dtype=self.cfg.compute_dtype,
             name="pos_conv",
         )
-        pos = nn.gelu(conv(x), approximate=False)
+        pos = nn.gelu(conv(x.astype(self.cfg.compute_dtype)), approximate=False)
         return jnp.mean(pos, axis=1, keepdims=True)  # mean over freq
 
 
@@ -210,17 +229,17 @@ class DiTBlock(nn.Module):
             mod, 6, axis=-1
         )
 
-        h = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)(x)
+        h = layer_norm_f32_stats(x)
         h = modulate(h, shift_msa, scale_msa)
         attn = MHSA(cfg, name="attn")(h)
-        x = x + gate_msa[:, None, :] * attn.astype(x.dtype)
+        x = x + gate_msa[:, None, :].astype(x.dtype) * attn.astype(x.dtype)
 
-        h = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)(x)
+        h = layer_norm_f32_stats(x)
         h = modulate(h, shift_mlp, scale_mlp)
         h = nn.Dense(int(cfg.hidden_size * cfg.mlp_ratio), dtype=dt, name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(cfg.hidden_size, dtype=dt, name="mlp_fc2")(h)
-        return x + gate_mlp[:, None, :] * h.astype(x.dtype)
+        return x + gate_mlp[:, None, :].astype(x.dtype) * h.astype(x.dtype)
 
 
 class FinalLayer(nn.Module):
@@ -239,7 +258,7 @@ class FinalLayer(nn.Module):
             name="adaLN_modulation",
         )(nn.silu(c))
         shift, scale = jnp.split(mod, 2, axis=-1)
-        x = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)(x)
+        x = layer_norm_f32_stats(x)
         x = modulate(x, shift, scale)
         out_dim = cfg.stride_size**2 * cfg.in_channels
         return nn.Dense(
@@ -285,13 +304,13 @@ class DiT(nn.Module):
         t_emb = TimestepEmbedder(cfg.hidden_size, name="t_embedder")(t)
 
         time_pos = ConvTimePosEmbed(cfg, name="time_pos")(x)
-        x = x + time_pos[:, :, : x.shape[2], :]
+        x = x + time_pos[:, :, : x.shape[2], :].astype(x.dtype)
         freq_pos = self.param(
             "freq_pos_embed",
             nn.initializers.zeros,
             (1, cfg.grid_h, 1, cfg.hidden_size),
         )
-        x = x + freq_pos
+        x = x + freq_pos.astype(x.dtype)
         tokens = x.reshape(b, hp * wp, cfg.hidden_size)  # freq-major order
 
         use_mask = train and mask_ratio > 0

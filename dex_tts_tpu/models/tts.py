@@ -121,10 +121,12 @@ class GeDEXTTS(nn.Module):
             use_style=self.use_style,
             n_spks=self.n_spks,
             spk_emb_dim=self.spk_emb_dim,
-            # U-Net convs stay float32 unconditionally: bf16 convs lower to
-            # a ~5x slower Mosaic path on v5e. compute_dtype reaches only
-            # the DiT attention/MLP matmuls (via dit_cfg).
-            dtype="float32",
+            # with compute_dtype="bfloat16" the whole U-Net runs bf16 —
+            # including GroupNorm application (stats in f32 on tiny
+            # tensors): mixed f32/bf16 islands are what trigger the slow
+            # relayout path on v5e, so boundaries exist only at the DiT and
+            # adaptor entry/exit.
+            dtype=self.compute_dtype,
         )
 
     # -- shared pieces ------------------------------------------------------

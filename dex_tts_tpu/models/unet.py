@@ -10,12 +10,46 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from dex_tts_tpu.models.dit import DiT, DiTConfig
 from dex_tts_tpu.models.layers import SinusoidalPosEmb, mish
 from dex_tts_tpu.models.ref_encoder import TIVAdaptor, TVAdaptor
 from dex_tts_tpu.ops import sequence_mask
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm whose *large-tensor* math stays in the input dtype.
+
+    flax's nn.GroupNorm promotes the whole activation to float32 for the
+    statistics; with bf16 activations that creates f32↔bf16 tiling
+    boundaries that dominate runtime on v5e (measured ~5x). Here only the
+    (tiny) per-group statistics are computed in f32; the normalization is
+    applied in the activation dtype. torch semantics (eps inside rsqrt,
+    affine per channel — reference: DEX-TTS/model/diffusion.py:48)."""
+
+    num_groups: int = 8
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        c = x.shape[-1]
+        g = self.num_groups
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        b, h, w, _ = x.shape
+        xg = x.reshape(b, h * w, g, c // g)
+        xf = xg.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+        var = jnp.mean(xf**2, axis=(1, 3), keepdims=True) - mean**2
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        # fold stats into per-(b, group) scale/shift, cast small, apply big
+        a = inv.astype(x.dtype)
+        m = (mean * inv).astype(x.dtype)
+        out = xg * a - m * jnp.ones_like(a)
+        out = out.reshape(b, h, w, c)
+        return out * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
 class Block(nn.Module):
@@ -28,12 +62,12 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask):
+        dt = jnp.dtype(self.dtype)
         h = nn.Conv(
-            self.dim_out, (3, 3), padding=[(1, 1), (1, 1)],
-            dtype=jnp.dtype(self.dtype),
-        )(x * mask)
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5)(h)
-        return mish(h) * mask
+            self.dim_out, (3, 3), padding=[(1, 1), (1, 1)], dtype=dt,
+        )(x.astype(dt) * mask.astype(dt))
+        h = GroupNorm(num_groups=self.groups, epsilon=1e-5)(h)
+        return mish(h) * mask.astype(h.dtype)
 
 
 class ResnetBlock(nn.Module):
@@ -46,14 +80,16 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, time_emb):
+        dt = jnp.dtype(self.dtype)
+        x = x.astype(dt)
+        mask = mask.astype(dt)
         h = Block(self.dim_out, self.groups, self.dtype, name="block1")(x, mask)
         t = nn.Dense(self.dim_out, name="mlp")(mish(time_emb))
-        h = h + t[:, None, None, :]
+        h = h + t[:, None, None, :].astype(dt)
         h = Block(self.dim_out, self.groups, self.dtype, name="block2")(h, mask)
         if x.shape[-1] != self.dim_out:
             res = nn.Conv(
-                self.dim_out, (1, 1), dtype=jnp.dtype(self.dtype),
-                name="res_conv",
+                self.dim_out, (1, 1), dtype=dt, name="res_conv",
             )(x * mask)
         else:
             res = x * mask
@@ -99,7 +135,9 @@ class RezeroAttention(nn.Module):
     @nn.compact
     def __call__(self, x):
         g = self.param("g", nn.initializers.zeros, (1,))
-        return x + LinearAttention(dtype=self.dtype, name="fn")(x) * g
+        return x + LinearAttention(dtype=self.dtype, name="fn")(x) * g.astype(
+            x.dtype
+        )
 
 
 class Downsample(nn.Module):
@@ -186,8 +224,9 @@ class DiffusionDenoiser(nn.Module):
             s = nn.Dense(self.spk_emb_dim * 4, name="spk_fc1")(spk)
             s = nn.Dense(self.n_feats, name="spk_fc2")(mish(s))
             channels.append(jnp.repeat(s[:, :, None], x.shape[-1], axis=-1))
-        h = jnp.stack(channels, axis=-1)  # (B, H, W, C_in)
-        mask4 = mask[:, 0, :, None][:, None, :, :]  # (B, 1, W, 1)
+        dt = jnp.dtype(self.dtype)
+        h = jnp.stack(channels, axis=-1).astype(dt)  # (B, H, W, C_in)
+        mask4 = mask[:, 0, :, None][:, None, :, :].astype(dt)  # (B, 1, W, 1)
 
         t_init = SinusoidalPosEmb(self.dim)(t, scale=self.pe_scale)
         t_unet = nn.Dense(self.dim * 4, name="time_fc1")(t_init)
@@ -226,15 +265,20 @@ class DiffusionDenoiser(nn.Module):
             t_sty = nn.Dense(self.dim, name="adap_sty_fc1")(t_init)
             t_sty = nn.Dense(mid_dim, name="adap_sty_fc2")(mish(t_sty))
 
-            sty_mask = sequence_mask(sty_lengths, sty.shape[1]).astype(h.dtype)
+            sty_mask = sequence_mask(sty_lengths, sty.shape[1]).astype(
+                jnp.float32
+            )
+            # adaptors run in f32 (instance-norm statistics + softmax)
             h = TVAdaptor(name="tv_adaptor")(
-                h, mask_mid, sty, sty_mask, t_sty[:, None, :]
+                h.astype(jnp.float32), mask_mid.astype(jnp.float32),
+                sty, sty_mask, t_sty[:, None, :]
             )
             h = TIVAdaptor(name="tiv_adaptor")(h, ref, t_adap[:, None, :])
 
         h = DiT(self.dit_cfg, name="dit")(
-            h, mask_mid, t, train=train, mask_ratio=mask_ratio
-        )
+            h.astype(jnp.float32), mask_mid.astype(jnp.float32), t,
+            train=train, mask_ratio=mask_ratio
+        ).astype(dt)
 
         for j, (dim_in, m) in enumerate(
             zip(reversed(dims[:-1]), reversed(masks[1:]))
@@ -249,6 +293,6 @@ class DiffusionDenoiser(nn.Module):
 
         # the first (unconsumed) skip pairs with the final blocks
         h = Block(self.dim, self.groups, self.dtype, name="final_block")(h, mask4)
-        out = nn.Conv(1, (1, 1), name="final_conv")(h * mask4)
-        out = out * mask4
+        out = nn.Conv(1, (1, 1), dtype=dt, name="final_conv")(h * mask4)
+        out = (out * mask4).astype(jnp.float32)
         return out[:, :, :, 0]
