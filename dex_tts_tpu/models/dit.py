@@ -182,10 +182,12 @@ class MHSA(nn.Module):
             else jnp.float32
         )
         # tuned on v5e at ~5k tokens: (block_q 2048, block_k 1024) ≈ 5x
-        # faster than the einsum path
+        # faster than the einsum path. T pads to a multiple of the larger
+        # block so both divide the padded length (both are powers of two).
         block_q = 2048 if t >= 2048 else 512
         block_k = 1024 if t >= 1024 else 512
-        t_pad = -(-t // block_q) * block_q
+        mult = max(block_q, block_k)
+        t_pad = -(-t // mult) * mult
         pad = t_pad - t
 
         def prep(a):

@@ -80,9 +80,23 @@ def tiny_cfg(root, family):
     return Config(cfg)
 
 
+def _load_main():
+    """Load the repo's main.py by path — parity tests put the reference
+    tree on sys.path, whose main.py would shadow ours."""
+    import importlib.util
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "dex_tts_tpu_main", os.path.join(root, "main.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 @pytest.mark.parametrize("family", ["gedex", "dex"])
 def test_train_and_eval_end_to_end(tmp_path, family, monkeypatch):
-    import main as main_mod
+    main_mod = _load_main()
 
     root = make_corpus(str(tmp_path))
     cfg = tiny_cfg(root, family)
