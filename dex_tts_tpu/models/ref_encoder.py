@@ -17,8 +17,8 @@ from dex_tts_tpu.models.layers import (
     ChannelLayerNorm,
     Conv1d,
     instance_norm_1d,
-    instance_norm_2d,
     instance_norm_stats_1d,
+    instance_norm_stats_2d,
 )
 
 
@@ -272,7 +272,10 @@ class SelfAttentionPooling(nn.Module):
 
 class TIVAdaptor(nn.Module):
     """Adaptive instance norm of the U-Net mid feature with SAP-pooled
-    reference stats. reference: DEX-TTS/model/ref_encoder.py:255-273."""
+    reference stats. reference: DEX-TTS/model/ref_encoder.py:255-273.
+
+    Statistics (instance norm, SAP softmax) are computed in f32; the big
+    feature map stays in its input dtype (bf16-friendly)."""
 
     @nn.compact
     def __call__(self, x, ref, time):
@@ -281,7 +284,11 @@ class TIVAdaptor(nn.Module):
         ref_mean, ref_std = ref
         mean = SelfAttentionPooling(name="mean_sap")(ref_mean, time)
         std = SelfAttentionPooling(name="std_sap")(ref_std, time)
-        return instance_norm_2d(x) * std[:, None, None, :] + mean[:, None, None, :]
+        mean2, std2 = instance_norm_stats_2d(x.astype(jnp.float32))
+        scale = (std[:, None, None, :] / std2).astype(x.dtype)
+        shift = (mean[:, None, None, :] - mean2 * std[:, None, None, :] / std2
+                 ).astype(x.dtype)
+        return x * scale + shift
 
 
 class TVAdaptor(nn.Module):
@@ -292,26 +299,31 @@ class TVAdaptor(nn.Module):
     @nn.compact
     def __call__(self, x, x_mask, sty, sty_mask, time):
         """x: (B, H, W, C); x_mask: (B, 1, W, 1); sty: (B, Ts, C);
-        sty_mask: (B, Ts); time: (B, 1, C)."""
+        sty_mask: (B, Ts); time: (B, 1, C). Runs in x.dtype with f32
+        softmax/instance-norm statistics."""
         b, h, w, c = x.shape
         d_k = c**0.5
+        dt = x.dtype
 
-        sty = jnp.concatenate([time, sty], axis=1)  # (B, Ts+1, C)
+        sty = jnp.concatenate([time, sty], axis=1).astype(dt)  # (B, Ts+1, C)
         smask = jnp.concatenate(
             [jnp.ones((b, 1), sty_mask.dtype), sty_mask], axis=1
         )  # (B, Ts+1)
 
-        q = nn.Dense(c, use_bias=False, name="w_q")(instance_norm_2d(x))
-        k = nn.Dense(c, use_bias=False, name="w_k")(sty)
-        v = nn.Dense(c, use_bias=False, name="w_v")(sty)
+        mean2, std2 = instance_norm_stats_2d(x.astype(jnp.float32))
+        xn = x * (1.0 / std2).astype(dt) - (mean2 / std2).astype(dt)
+        q = nn.Dense(c, use_bias=False, dtype=dt, name="w_q")(xn)
+        k = nn.Dense(c, use_bias=False, dtype=dt, name="w_k")(sty)
+        v = nn.Dense(c, use_bias=False, dtype=dt, name="w_v")(sty)
 
         attn = jnp.einsum(
-            "bhwc,btc->bhwt", q / d_k, k, preferred_element_type=jnp.float32
+            "bhwc,btc->bhwt", q / jnp.asarray(d_k, dt), k,
+            preferred_element_type=jnp.float32,
         )
         attn = jnp.where(smask[:, None, None, :] == 0, -1e4, attn)
-        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        attn = jax.nn.softmax(attn, axis=-1).astype(dt)
         out = jnp.einsum(
             "bhwt,btc->bhwc", attn, v, preferred_element_type=jnp.float32
-        ).astype(x.dtype)
-        out = nn.Dense(c, use_bias=False, name="linear")(out)
-        return (x + out) * x_mask
+        ).astype(dt)
+        out = nn.Dense(c, use_bias=False, dtype=dt, name="linear")(out)
+        return (x + out) * x_mask.astype(dt)

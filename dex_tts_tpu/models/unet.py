@@ -268,16 +268,15 @@ class DiffusionDenoiser(nn.Module):
             sty_mask = sequence_mask(sty_lengths, sty.shape[1]).astype(
                 jnp.float32
             )
-            # adaptors run in f32 (instance-norm statistics + softmax)
+            # adaptors keep the mid feature in the compute dtype (their
+            # norm/softmax statistics are f32 internally)
             h = TVAdaptor(name="tv_adaptor")(
-                h.astype(jnp.float32), mask_mid.astype(jnp.float32),
-                sty, sty_mask, t_sty[:, None, :]
+                h, mask_mid, sty, sty_mask, t_sty[:, None, :]
             )
             h = TIVAdaptor(name="tiv_adaptor")(h, ref, t_adap[:, None, :])
 
         h = DiT(self.dit_cfg, name="dit")(
-            h.astype(jnp.float32), mask_mid.astype(jnp.float32), t,
-            train=train, mask_ratio=mask_ratio
+            h, mask_mid, t, train=train, mask_ratio=mask_ratio
         ).astype(dt)
 
         for j, (dim_in, m) in enumerate(
