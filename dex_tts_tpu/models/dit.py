@@ -151,7 +151,11 @@ class MHSA(nn.Module):
         qkv = qkv.reshape(b, t, 3, h, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-        if cfg.attention.startswith("flash"):
+        use_flash = (
+            cfg.attention.startswith("flash")
+            and jax.default_backend() == "tpu"
+        )  # pallas TPU kernel; einsum fallback elsewhere (e.g. CPU tests)
+        if use_flash:
             out = self._flash(q, k, v, hd)
         else:
             scores = jnp.einsum(
