@@ -6,9 +6,9 @@ TPU v5e at 50 diffusion steps. vs_baseline = 0.02 / measured_RTF, so > 1.0
 means faster than the target.
 
 Runs the flagship DeX-TTS at the reference VCTK scale
-(reference: DEX-TTS/config/VCTK/base.yaml), batch 8, ~11.9 s of audio per
-item (1024 frames @ 256 hop / 22.05 kHz). Weights are randomly initialized
-— wall-clock is weight-independent.
+(reference: DEX-TTS/config/VCTK/base.yaml), batch 16, ~8.9 s of audio per
+item (768 frames @ 256 hop / 22.05 kHz — long-sentence regime). Weights are
+randomly initialized — wall-clock is weight-independent.
 """
 
 import json
@@ -27,7 +27,7 @@ N_STEPS = 50
 
 
 def main():
-    b, tx, ty, t_ref = 8, 96, 1024, 256
+    b, tx, ty, t_ref = 16, 96, 768, 256
     model = _full_size_dex()
     x = jnp.ones((b, tx), jnp.int32)
     x_lengths = jnp.full((b,), tx, jnp.int32)
@@ -99,7 +99,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"text-to-mel synthesis RTF per chip ({N_STEPS}-step EDM, batch {b})",
+                "metric": f"text-to-mel synthesis RTF per chip ({N_STEPS}-step EDM, batch {b}, {ty} frames/item)",
                 "value": round(rtf, 6),
                 "unit": "RTF (wall s / audio s)",
                 "vs_baseline": round(0.02 / rtf, 3),

@@ -187,11 +187,18 @@ class MHSA(nn.Module):
         )
         # tuned on v5e at ~5k tokens: (block_q 2048, block_k 1024) ≈ 5x
         # faster than the einsum path. T pads to a multiple of the larger
-        # block so both divide the padded length (both are powers of two).
-        block_q = 2048 if t >= 2048 else 512
+        # block (both are powers of two, so max == lcm); pick the largest
+        # block_q whose padding waste stays small — attention cost scales
+        # with t_pad², so waste dominates block-size micro-effects.
         block_k = 1024 if t >= 1024 else 512
-        mult = max(block_q, block_k)
-        t_pad = -(-t // mult) * mult
+        best = None
+        for bq in (2048, 1024, 512):
+            mult = max(bq, block_k)
+            tp = -(-t // mult) * mult
+            key_ = (tp, -bq)  # least padding, then largest block
+            if best is None or key_ < best[0]:
+                best = (key_, bq, tp)
+        _, block_q, t_pad = best
         pad = t_pad - t
 
         def prep(a):
