@@ -34,27 +34,41 @@ from dex_tts_tpu.train.state import create_train_state
 
 
 def load_vocoder(cfg):
-    """HiFi-GAN with converted torch weights when present, else random
-    (useful for smoke runs). reference: DEX-TTS/src/utils.py:251-281."""
-    from dex_tts_tpu.convert import hifigan_torch_to_flax, load_torch_checkpoint
+    """HiFi-GAN or BigVGAN (per cfg.vocoder) with converted torch weights
+    when present, else random init (useful for smoke runs).
+    reference: DEX-TTS/src/utils.py:251-281."""
+    from dex_tts_tpu.convert import (
+        bigvgan_torch_to_flax,
+        hifigan_torch_to_flax,
+        load_torch_checkpoint,
+    )
+    from dex_tts_tpu.models.vocoder.bigvgan import BigVGANConfig, BigVGANGenerator
     from dex_tts_tpu.models.vocoder.hifigan import HiFiGANConfig
 
     n_mels = int(cfg.get("preprocess", {}).get("n_mels", 80))
-    voc = HiFiGANGenerator(HiFiGANConfig(num_mels=n_mels))
+    kind = str(cfg.get("vocoder", "hifigan")).lower()
     path = cfg.path.get("vocoder_path", "")
-    candidates = (
-        [
-            os.path.join(path, "generator_LJSpeech.pth.tar.zip"),
-            os.path.join(path, "generator_universal.pth.tar.zip"),
-            os.path.join(path, "generator_universal.pth.tar"),
-            path,
-        ]
-        if path
-        else []
-    )
+
+    if kind == "bigvgan":
+        voc = BigVGANGenerator(BigVGANConfig(num_mels=n_mels))
+        candidates = [os.path.join(path, "g_05000000"), path] if path else []
+        convert = bigvgan_torch_to_flax
+    else:
+        voc = HiFiGANGenerator(HiFiGANConfig(num_mels=n_mels))
+        candidates = (
+            [
+                os.path.join(path, "generator_LJSpeech.pth.tar.zip"),
+                os.path.join(path, "generator_universal.pth.tar.zip"),
+                os.path.join(path, "generator_universal.pth.tar"),
+                path,
+            ]
+            if path
+            else []
+        )
+        convert = hifigan_torch_to_flax
     for cand in candidates:
         if os.path.isfile(cand):
-            params = hifigan_torch_to_flax(load_torch_checkpoint(cand))
+            params = convert(load_torch_checkpoint(cand))
             return voc, params
     import jax.numpy as jnp
 
