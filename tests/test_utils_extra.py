@@ -1,0 +1,57 @@
+import json
+import os
+
+import numpy as np
+
+from dex_tts_tpu.eval.metric import cer, mean_and_stderr, mel_mae, normalize_transcript, wer
+from dex_tts_tpu.utils.logging import MetricsLogger
+from dex_tts_tpu.utils.profiling import StepTimer, annotate
+
+
+def test_wer_cer():
+    assert wer("the cat sat", "the cat sat") == 0.0
+    assert wer("the cat sat", "the dog sat") == 1 / 3
+    assert wer("a b c", "a c") == 1 / 3  # one deletion
+    assert wer("", "") == 0.0
+    assert wer("", "word") == 1.0
+    assert cer("abc", "abc") == 0.0
+    assert cer("abc", "abd") == 1 / 3
+    # normalization: case + punctuation insensitive
+    assert wer("Hello, World!", "hello world") == 0.0
+    assert normalize_transcript("It's Fine.") == "IT'S FINE"
+
+
+def test_mel_mae_crops_to_shorter():
+    a = np.zeros((4, 10))
+    b = np.ones((4, 7))
+    assert mel_mae(a, b) == 1.0
+
+
+def test_mean_and_stderr():
+    mean, se = mean_and_stderr([1.0, 2.0, 3.0])
+    assert np.isclose(mean, 2.0)
+    assert np.isclose(se, np.std([1, 2, 3], ddof=1) / np.sqrt(3))
+    mean, se = mean_and_stderr([])
+    assert np.isnan(mean)
+
+
+def test_metrics_logger(tmp_path):
+    logger = MetricsLogger(str(tmp_path))
+    logger.log(1, {"loss": 2.5}, prefix="train/")
+    logger.log(2, {"loss": 2.0}, prefix="train/")
+    lines = [json.loads(l) for l in open(os.path.join(tmp_path, "metrics.jsonl"))]
+    assert len(lines) == 2
+    assert lines[0]["step"] == 1
+    assert lines[1]["train/loss"] == 2.0
+
+
+def test_step_timer():
+    timer = StepTimer(warmup=1)
+    for _ in range(4):
+        with timer:
+            pass
+    assert timer.total_steps == 4
+    assert len(timer.times) == 3
+    assert "steps" in timer.summary()
+    with annotate("span"):
+        pass
