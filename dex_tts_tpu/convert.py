@@ -264,7 +264,7 @@ def _unet_attn(state, name):
     }
 
 
-def _dit(state, prefix, depth):
+def _dit(state, prefix, depth, use_decoder=False):
     """reference DiTMask (dit.py:328-457) → decoder/dit tree."""
     p = {
         "x_embedder": {
@@ -298,6 +298,24 @@ def _dit(state, prefix, depth):
                 state, f"{prefix}.blocks.{i}.adaLN_modulation.1"
             ),
         }
+    if use_decoder:
+        p["decoder_pos_conv"] = {
+            "pos_conv": _conv1d(state, f"{prefix}.decoder_pos_conv.0")
+        }
+        for i in range(depth):
+            p[f"decoder_block_{i}"] = {
+                "attn": {
+                    "qkv": _dense(state, f"{prefix}.decoder_blocks.{i}.attn.qkv"),
+                    "proj": _dense(
+                        state, f"{prefix}.decoder_blocks.{i}.attn.proj"
+                    ),
+                },
+                "mlp_fc1": _dense(state, f"{prefix}.decoder_blocks.{i}.mlp.fc1"),
+                "mlp_fc2": _dense(state, f"{prefix}.decoder_blocks.{i}.mlp.fc2"),
+                "adaLN_modulation": _dense(
+                    state, f"{prefix}.decoder_blocks.{i}.adaLN_modulation.1"
+                ),
+            }
     return p
 
 
@@ -410,6 +428,9 @@ def dex_tts_torch_to_flax(state: dict, model) -> dict:
         dit_depth=dit_depth,
         use_style=use_style,
         n_spks=getattr(model, "n_spks", 1),
+        dit_use_decoder=(
+            model.dit.use_decoder if model.dit is not None else False
+        ),
     )
 
     variables = {"params": params}
@@ -427,6 +448,7 @@ def denoiser_torch_to_flax(
     dit_depth: int = 4,
     use_style: bool = True,
     n_spks: int = 1,
+    dit_use_decoder: bool = False,
 ) -> dict:
     """Reference DiffusionDenoiser subtree → flax `decoder` params."""
     d = prefix
@@ -474,7 +496,7 @@ def denoiser_torch_to_flax(
         dec[f"up_{j}_upsample"] = {
             "ConvTranspose_0": _convT2d(state, f"{d}.ups.{j}.3.conv")
         }
-    dec["dit"] = _dit(state, f"{d}.vit", dit_depth)
+    dec["dit"] = _dit(state, f"{d}.vit", dit_depth, use_decoder=dit_use_decoder)
     return dec
 
 
@@ -485,12 +507,38 @@ def _projection_dp(state, name):
 
 
 def load_torch_checkpoint(path: str) -> dict:
-    """Load a .pth file into a {name: np.ndarray} dict (host-side torch)."""
+    """Load a .pth/.pth.tar/.pth.tar.zip file into a {name: np.ndarray} dict.
+
+    Handles the distribution formats the reference points users at
+    (reference: DEX-TTS/src/utils.py:251-281): a torch-serialized file
+    (zip-format or legacy pickle) or a *plain* zip archive wrapping one
+    (e.g. ``generator_universal.pth.tar.zip`` from the HiFi-GAN release).
+    """
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    def _load_file(p):
+        return torch.load(p, map_location="cpu", weights_only=True)
+
+    try:
+        ckpt = _load_file(path)
+    except Exception:
+        # maybe an outer plain zip wrapping the checkpoint file: extract the
+        # largest member and load that. torch's own zip serialization would
+        # have loaded above, so reaching here with a zipfile means a wrapper.
+        import tempfile
+        import zipfile
+
+        if not zipfile.is_zipfile(path):
+            raise
+        with zipfile.ZipFile(path) as zf:
+            members = [n for n in zf.namelist() if not n.endswith("/")]
+            if not members:
+                raise
+            inner = max(members, key=lambda n: zf.getinfo(n).file_size)
+            with tempfile.TemporaryDirectory() as td:
+                ckpt = _load_file(zf.extract(inner, td))
     if isinstance(ckpt, dict) and "generator" in ckpt:
         ckpt = ckpt["generator"]
     if isinstance(ckpt, dict) and "state_dict" in ckpt:
         ckpt = ckpt["state_dict"]
-    return {k: v.numpy() for k, v in ckpt.items()}
+    return {k: v.numpy() for k, v in ckpt.items() if hasattr(v, "numpy")}

@@ -33,6 +33,23 @@ from dex_tts_tpu.train.checkpoint import CheckpointManager
 from dex_tts_tpu.train.state import create_train_state
 
 
+def gt_wav_path(filelist_path: str) -> str:
+    """Ground-truth wav path for a filelist entry.
+
+    Filelists store the mel path ``.../mel/{spk}/{spk}-mel-{base}.npy``; the
+    preprocessor writes the trimmed wav next to it at
+    ``.../wav/{spk}/{base}.wav`` (preprocessor.py:181-183). Entries that
+    already point at a wav are returned unchanged
+    (reference: DEX-TTS/src/evaluation.py:60-67 copies GT wavs)."""
+    if filelist_path.endswith(".wav"):
+        return filelist_path
+    d, name = os.path.split(filelist_path.replace("/mel/", "/wav/"))
+    if "-mel-" in name and name.endswith(".npy"):
+        base = name.split("-mel-", 1)[1][: -len(".npy")]
+        return os.path.join(d, base + ".wav")
+    return ""
+
+
 def load_vocoder(cfg):
     """HiFi-GAN or BigVGAN (per cfg.vocoder) with converted torch weights
     when present, else random init (useful for smoke runs).
@@ -49,12 +66,35 @@ def load_vocoder(cfg):
     kind = str(cfg.get("vocoder", "hifigan")).lower()
     path = cfg.path.get("vocoder_path", "")
 
+    # honor a config.json next to the checkpoint, as the reference's
+    # AttrDict(json) loader does (reference: DEX-TTS/src/utils.py:255-262)
+    arch = {}
+    cfg_json = os.path.join(path, "config.json") if path else ""
+    if os.path.isfile(cfg_json):
+        import json
+
+        with open(cfg_json) as f:
+            j = json.load(f)
+        keys = (
+            "num_mels", "upsample_rates", "upsample_kernel_sizes",
+            "upsample_initial_channel", "resblock_kernel_sizes",
+            "resblock_dilation_sizes",
+        ) + (("activation", "snake_logscale") if kind == "bigvgan" else ())
+        arch = {
+            k: tuple(tuple(e) if isinstance(e, list) else e for e in j[k])
+            if isinstance(j[k], list)
+            else j[k]
+            for k in keys
+            if k in j
+        }
+    arch.setdefault("num_mels", n_mels)
+
     if kind == "bigvgan":
-        voc = BigVGANGenerator(BigVGANConfig(num_mels=n_mels))
+        voc = BigVGANGenerator(BigVGANConfig(**arch))
         candidates = [os.path.join(path, "g_05000000"), path] if path else []
         convert = bigvgan_torch_to_flax
     else:
-        voc = HiFiGANGenerator(HiFiGANConfig(num_mels=n_mels))
+        voc = HiFiGANGenerator(HiFiGANConfig(**arch))
         candidates = (
             [
                 os.path.join(path, "generator_LJSpeech.pth.tar.zip"),
@@ -68,7 +108,7 @@ def load_vocoder(cfg):
         convert = hifigan_torch_to_flax
     for cand in candidates:
         if os.path.isfile(cand):
-            params = convert(load_torch_checkpoint(cand))
+            params = convert(load_torch_checkpoint(cand), voc.cfg)
             return voc, params
     import jax.numpy as jnp
 
@@ -130,13 +170,17 @@ def run_objective_eval(
     n_timesteps: int = 50,
     test_file: str | None = None,
     seed: int = 0,
+    asr: ASRScorer | None = None,
+    spk_scorer: SpeakerScorer | None = None,
 ):
+    """asr/spk_scorer are injectable so tests can exercise the scoring
+    wiring without the optional pretrained backends."""
     synth, ds = load_synthesizer(cfg, exp_dir, n_timesteps)
     out_dir = os.path.join(exp_dir, "eval")
     os.makedirs(out_dir, exist_ok=True)
 
-    asr = ASRScorer()
-    spk_scorer = SpeakerScorer()
+    asr = asr if asr is not None else ASRScorer()
+    spk_scorer = spk_scorer if spk_scorer is not None else SpeakerScorer()
     maes, wers, cers, coss = [], [], [], []
 
     if test_file:
@@ -163,16 +207,32 @@ def run_objective_eval(
         write_wav(wav_path, out["wav"])
         if "y" in item:
             maes.append(mel_mae(item["y"], out["mel"]))
-        if "filepath" in item and os.path.isfile(item["filepath"]):
-            base = os.path.join(out_dir, f"{i:03d}_ref" + os.path.splitext(item["filepath"])[1])
+        gt_path = gt_wav_path(item.get("filepath", ""))
+        if not (gt_path and os.path.isfile(gt_path)):
+            gt_path = ""
+        copy_src = gt_path or item.get("filepath", "")
+        if copy_src and os.path.isfile(copy_src):
+            base = os.path.join(
+                out_dir, f"{i:03d}_ref" + os.path.splitext(copy_src)[1]
+            )
             try:
-                shutil.copy(item["filepath"], base)
+                shutil.copy(copy_src, base)
             except OSError:
                 pass
         hyp = asr.transcribe(out["wav"]) if asr.available else None
         if hyp is not None:
             wers.append(wer(item["raw_text"], hyp))
             cers.append(cer(item["raw_text"], hyp))
+        # speaker cosine similarity vs the ground-truth utterance
+        # (reference: DEX-TTS/src/metric.py:80-95, evaluation.py:76-85)
+        if spk_scorer.available and gt_path:
+            from dex_tts_tpu.audio.wav import read_wav, resample
+
+            gt_wav, gt_sr = read_wav(gt_path)
+            gt_wav = resample(gt_wav, gt_sr, 22050)
+            cos = spk_scorer.cosine(out["wav"], gt_wav, sample_rate=22050)
+            if cos is not None:
+                coss.append(cos)
 
     report = {}
     for name, vals in [("mel_mae", maes), ("wer", wers), ("cer", cers), ("cos", coss)]:

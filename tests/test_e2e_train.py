@@ -17,8 +17,12 @@ def make_corpus(root, n=12, n_mels=16, seed=0):
     rng = np.random.default_rng(seed)
     mel_dir = os.path.join(root, "mel", "spk0")
     lf0_dir = os.path.join(root, "lf0", "spk0")
+    wav_dir = os.path.join(root, "wav", "spk0")
     os.makedirs(mel_dir, exist_ok=True)
     os.makedirs(lf0_dir, exist_ok=True)
+    os.makedirs(wav_dir, exist_ok=True)
+    from dex_tts_tpu.audio.wav import write_wav
+
     texts = ["hello there", "see the cat", "go now", "a fine day today"]
     lines = []
     for i in range(n):
@@ -29,6 +33,11 @@ def make_corpus(root, n=12, n_mels=16, seed=0):
         mel_path = os.path.join(mel_dir, f"spk0-mel-{i:03d}.npy")
         np.save(mel_path, mel)
         np.save(os.path.join(lf0_dir, f"spk0-lf0-{i:03d}.npy"), lf0)
+        # ground-truth wav at the preprocessor's layout (wav/{spk}/{base}.wav)
+        write_wav(
+            os.path.join(wav_dir, f"{i:03d}.wav"),
+            rng.standard_normal(t * 256).astype(np.float32) * 0.1,
+        )
         lines.append(f"{mel_path}|{texts[i % len(texts)]}|0")
     for name, subset in (("train.txt", lines[:8]), ("valid.txt", lines[8:])):
         with open(os.path.join(root, name), "w") as f:
@@ -120,12 +129,36 @@ def test_train_and_eval_end_to_end(tmp_path, family, monkeypatch):
     assert os.path.isdir(os.path.join(exp_dir, "ckpt", "best-train"))
     assert os.path.isdir(os.path.join(exp_dir, "ckpt", "last"))
 
-    # objective eval on the trained checkpoint (mel-MAE; random vocoder)
+    # objective eval on the trained checkpoint. Fake ASR/speaker backends
+    # exercise the full scoring wiring (WER/CER/speaker-cos) without the
+    # optional pretrained models (reference: DEX-TTS/src/metric.py:15-95).
     from dex_tts_tpu.eval.evaluation import run_objective_eval
 
+    class FakeASR:
+        available = True
+
+        def transcribe(self, wav, sample_rate=22050):
+            return "hello there friend"
+
+    class FakeSpk:
+        available = True
+        calls = []
+
+        def cosine(self, wav_a, wav_b, sample_rate=22050):
+            self.calls.append((len(wav_a), len(wav_b)))
+            return 0.87
+
+    fake_spk = FakeSpk()
     report = run_objective_eval(
-        Config(cfg_path), exp_dir=exp_dir, sample_size=1, n_timesteps=2
+        Config(cfg_path), exp_dir=exp_dir, sample_size=1, n_timesteps=2,
+        asr=FakeASR(), spk_scorer=fake_spk,
     )
     assert "mel_mae" in report
     assert np.isfinite(report["mel_mae"][0])
+    for name in ("wer", "cer", "cos"):
+        assert name in report, report
+    assert report["cos"][0] == pytest.approx(0.87)
+    assert fake_spk.calls and all(a > 0 and b > 0 for a, b in fake_spk.calls)
     assert os.path.isfile(os.path.join(exp_dir, "eval", "000_syn.wav"))
+    # the GT wav (not the mel .npy) was copied next to the synthesis
+    assert os.path.isfile(os.path.join(exp_dir, "eval", "000_ref.wav"))

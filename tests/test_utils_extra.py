@@ -55,3 +55,16 @@ def test_step_timer():
     assert "steps" in timer.summary()
     with annotate("span"):
         pass
+
+
+def test_gt_wav_path():
+    from dex_tts_tpu.eval.evaluation import gt_wav_path
+
+    assert (
+        gt_wav_path("/data/out/mel/p225/p225-mel-p225_001.npy")
+        == "/data/out/wav/p225/p225_001.wav"
+    )
+    # already a wav: unchanged
+    assert gt_wav_path("/data/wavs/a.wav") == "/data/wavs/a.wav"
+    # unknown layout: empty (no crash)
+    assert gt_wav_path("/data/out/feats/x.npy") == ""

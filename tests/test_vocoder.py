@@ -178,3 +178,60 @@ def test_hifigan_matches_reference_implementation():
     model = HiFiGANGenerator(cfg)
     got = np.asarray(model.apply({"params": params}, jnp.asarray(mel.numpy())))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_load_vocoder_zip_checkpoint(tmp_path):
+    """load_vocoder resolves a `generator_universal.pth.tar.zip` container
+    (plain zip wrapping the torch file, the HiFi-GAN release layout) via the
+    candidates list, honoring the adjacent config.json architecture
+    (reference: DEX-TTS/src/utils.py:251-281)."""
+    import json
+    import zipfile
+
+    from dex_tts_tpu.eval.evaluation import load_vocoder
+    from dex_tts_tpu.utils import Config
+
+    torch.manual_seed(0)
+    gen = build_torch_generator(TINY).eval()
+    state = torch_state_to_reference_names(gen, TINY)
+    inner = tmp_path / "generator_universal.pth.tar"
+    torch.save(
+        {"generator": {k: torch.from_numpy(v) for k, v in state.items()}},
+        str(inner),
+    )
+    outer = tmp_path / "generator_universal.pth.tar.zip"
+    with zipfile.ZipFile(outer, "w") as zf:
+        zf.write(str(inner), "generator_universal.pth.tar")
+    inner.unlink()  # only the zip candidate exists
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump(
+            {
+                "num_mels": TINY.num_mels,
+                "upsample_rates": list(TINY.upsample_rates),
+                "upsample_kernel_sizes": list(TINY.upsample_kernel_sizes),
+                "upsample_initial_channel": TINY.upsample_initial_channel,
+                "resblock_kernel_sizes": list(TINY.resblock_kernel_sizes),
+                "resblock_dilation_sizes": [
+                    list(d) for d in TINY.resblock_dilation_sizes
+                ],
+            },
+            f,
+        )
+
+    cfg = Config(
+        {
+            "vocoder": "hifigan",
+            "preprocess": {"n_mels": TINY.num_mels},
+            "path": {"vocoder_path": str(tmp_path)},
+        }
+    )
+    voc, params = load_vocoder(cfg)
+    assert voc.cfg.upsample_initial_channel == TINY.upsample_initial_channel
+
+    mel = torch.randn(1, TINY.num_mels, 19)
+    with torch.no_grad():
+        want = gen(mel).numpy()[:, 0, :]
+    got = np.asarray(
+        voc.apply({"params": params}, jnp.asarray(mel.numpy()))
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5)
