@@ -131,6 +131,16 @@ class TextMelDataset:
         item.setdefault("emotion", "None")
         return item
 
+    def item_lengths(self, index: int) -> tuple[int, int]:
+        """(token count, mel frame count) without loading feature data —
+        the mel shape comes from the .npy header only. Used by multi-host
+        batchers to agree on global bucket shapes while each process loads
+        only its local shard."""
+        line = self.filelist[index]
+        x_len = len(self.get_text(line[1]))
+        shape = np.load(line[0], mmap_mode="r").shape  # header read only
+        return x_len, int(shape[0])  # stored (T, n_mels)
+
 
 class BucketBatcher:
     """Groups items into batches padded to bucketed lengths.
@@ -139,6 +149,17 @@ class BucketBatcher:
     ``y_quantum`` (≥4 so the U-Net's two downsamples divide evenly,
     reference: DEX-TTS/model/utils.py:13-17). Style/lf0 features share the
     mel-frame bucket.
+
+    Multi-host: with ``process_count > 1`` every process computes the SAME
+    global batch order (same seed) but loads/collates only its contiguous
+    ``batch_size // process_count`` slice of each batch; bucket shapes are
+    derived from header-only length reads of the *whole* global batch so all
+    processes compile identical step shapes. Assemble the global array with
+    ``dex_tts_tpu.parallel.assemble_global_batch``.
+
+    ``prefetch`` > 0 overlaps host-side loading/collation of the next
+    batches with device compute via a background thread (the reference used
+    multi-worker DataLoaders for this, DEX-TTS/main.py:30-33).
     """
 
     def __init__(
@@ -151,7 +172,12 @@ class BucketBatcher:
         seed: int = 100,
         drop_last: bool = True,
         sort_by_length: bool = True,
+        process_count: int = 1,
+        process_index: int = 0,
+        prefetch: int = 2,
     ):
+        assert batch_size % process_count == 0, (batch_size, process_count)
+        assert 0 <= process_index < process_count
         self.ds = dataset
         self.batch_size = batch_size
         self.x_quantum = x_quantum
@@ -159,6 +185,9 @@ class BucketBatcher:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.sort_by_length = sort_by_length
+        self.process_count = process_count
+        self.process_index = process_index
+        self.prefetch = prefetch
         self.rng = random.Random(seed)
         self._lengths = None
 
@@ -191,13 +220,19 @@ class BucketBatcher:
             self.rng.shuffle(batches)
         return batches
 
-    def collate(self, items: list[dict]) -> dict:
+    def collate(
+        self, items: list[dict], x_max: int | None = None, y_max: int | None = None
+    ) -> dict:
         b = len(items)
         n_feats = items[0]["y"].shape[0]
-        x_max = round_to_bucket(max(it["x"].shape[0] for it in items), self.x_quantum)
-        y_max = fix_len_compatibility(
-            round_to_bucket(max(it["y"].shape[1] for it in items), self.y_quantum)
-        )
+        if x_max is None:
+            x_max = round_to_bucket(
+                max(it["x"].shape[0] for it in items), self.x_quantum
+            )
+        if y_max is None:
+            y_max = fix_len_compatibility(
+                round_to_bucket(max(it["y"].shape[1] for it in items), self.y_quantum)
+            )
 
         batch = {
             "x": np.zeros((b, x_max), np.int32),
@@ -232,9 +267,72 @@ class BucketBatcher:
                 batch["lf0_lengths"][i] = min(len(lf0), y_max)
         return batch
 
+    def _make_batch(self, batch_idx: list[int]) -> dict:
+        if self.process_count == 1:
+            return self.collate([self.ds[i] for i in batch_idx])
+        # shapes from the WHOLE global batch (header-only reads); data from
+        # this process's contiguous slice only
+        lengths = [self.ds.item_lengths(i) for i in batch_idx]
+        x_max = round_to_bucket(max(l[0] for l in lengths), self.x_quantum)
+        y_max = fix_len_compatibility(
+            round_to_bucket(max(l[1] for l in lengths), self.y_quantum)
+        )
+        per = self.batch_size // self.process_count
+        lo = self.process_index * per
+        local = batch_idx[lo : lo + per]
+        return self.collate([self.ds[i] for i in local], x_max=x_max, y_max=y_max)
+
     def __iter__(self) -> Iterator[dict]:
-        for batch_idx in self._batch_indices():
-            yield self.collate([self.ds[i] for i in batch_idx])
+        batches = self._batch_indices()
+        if self.prefetch <= 0:
+            for batch_idx in batches:
+                yield self._make_batch(batch_idx)
+            return
+        # background thread builds the next `prefetch` batches while the
+        # consumer's device step runs
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        sentinel = object()
+        errors: list[BaseException] = []
+
+        def worker():
+            try:
+                for batch_idx in batches:
+                    batch = self._make_batch(batch_idx)
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+            except BaseException as exc:  # propagate to consumer
+                errors.append(exc)
+            finally:
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+
+        thread = threading.Thread(target=worker, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            stop.set()
+        thread.join()
+        if errors:
+            raise errors[0]
 
     def __len__(self) -> int:
         n = len(self.ds) // self.batch_size

@@ -4,8 +4,11 @@ from dex_tts_tpu.parallel.mesh import (
     replicate_state,
     shard_batch,
 )
+from dex_tts_tpu.parallel.runtime import assemble_global_batch, initialize
 
 __all__ = [
+    "assemble_global_batch",
+    "initialize",
     "make_mesh",
     "shard_batch",
     "replicate_state",

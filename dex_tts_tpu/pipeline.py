@@ -98,10 +98,16 @@ class Synthesizer:
         return mel[:, :t], lf0[:t]
 
     # -- jitted stages ---------------------------------------------------------
+    # `variables` is a jit *argument* (not a closure constant) so weights can
+    # be swapped (e.g. per train epoch) without recompiling any cached graph.
 
-    def _encode_impl(self, x, x_lengths, spk=None, **cond_inputs):
+    def set_variables(self, variables) -> None:
+        """Swap model weights; compiled bucket graphs are reused."""
+        self.variables = variables
+
+    def _encode_impl(self, variables, x, x_lengths, spk=None, **cond_inputs):
         return self.model.apply(
-            self.variables,
+            variables,
             x,
             x_lengths,
             spk=spk,
@@ -120,9 +126,9 @@ class Synthesizer:
             jax.jit,
             static_argnames=("temperature", "length_scale"),
         )
-        def run(rng, inputs, temperature=1.5, length_scale=1.0):
+        def run(variables, rng, inputs, temperature=1.5, length_scale=1.0):
             enc, dec, attn, y_lengths = self.model.apply(
-                self.variables,
+                variables,
                 rng,
                 inputs["x"],
                 inputs["x_lengths"],
@@ -152,7 +158,9 @@ class Synthesizer:
     def predict_frames(self, inputs: dict, length_scale=1.0) -> int:
         """Host-side frame estimate from the duration predictor."""
         cond = {k: v for k, v in inputs.items() if k not in ("x", "x_lengths")}
-        logw, x_mask = self._encode(inputs["x"], inputs["x_lengths"], **cond)
+        logw, x_mask = self._encode(
+            self.variables, inputs["x"], inputs["x_lengths"], **cond
+        )
         w = np.exp(np.asarray(logw[:, :, 0])) * np.asarray(x_mask[:, :, 0])
         frames = np.ceil(w).sum(axis=1) * length_scale
         return int(frames.max())
@@ -226,7 +234,10 @@ class Synthesizer:
         # phase 2: full synthesis at the bucketed length
         with_voc = vocode and self.vocoder is not None
         run = self._get_synth(x_max, y_len, with_voc)
-        out = run(key, inputs, temperature=temperature, length_scale=length_scale)
+        out = run(
+            self.variables, key, inputs,
+            temperature=temperature, length_scale=length_scale,
+        )
 
         mels = np.asarray(out["mel"])
         lens = np.asarray(out["y_lengths"])

@@ -153,9 +153,15 @@ class Trainer:
         syn_fn: Callable | None = None,
         jit: bool = True,
         donate: bool = True,
+        mesh=None,
     ):
         self.model = model
         self.state = state
+        self.mesh = mesh
+        if mesh is not None:
+            from dex_tts_tpu.parallel import replicate_state
+
+            self.state = replicate_state(state, mesh)
         self.exp_dir = exp_dir
         self.save_epoch = save_epoch
         self.syn_every = syn_every
@@ -165,11 +171,63 @@ class Trainer:
 
         step = make_train_step(model, tx, out_size, ema_decay, mask_ratio)
         vstep = make_valid_step(model, out_size)
+
+        # fused step+metric-accumulation variants: metric sums live on
+        # device across the epoch so the loop never blocks on a host
+        # round-trip per batch (a blocking dispatch costs ~30 ms on the
+        # remote-TPU link; the reference loop pays .item() per term,
+        # DEX-TTS/src/train.py:180-214)
+        raw_step, raw_vstep = step, vstep
+        if mesh is not None:
+            # dp-sharded batch, replicated state: XLA derives the gradient
+            # all-reduce over ICI (see parallel/mesh.py)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            replicated = NamedSharding(mesh, P())
+
+            def _constrain(batch):
+                return jax.lax.with_sharding_constraint(
+                    batch,
+                    {
+                        k: NamedSharding(
+                            mesh, P("dp", *([None] * (np.ndim(v) - 1)))
+                        )
+                        for k, v in batch.items()
+                    },
+                )
+
+            def step_acc(state, batch, sums):
+                new_state, metrics = raw_step(state, _constrain(batch))
+                new_state = jax.lax.with_sharding_constraint(
+                    new_state, replicated
+                )
+                return new_state, {k: sums[k] + metrics[k] for k in metrics}
+
+            def vstep_acc(state, batch, key, sums):
+                metrics = raw_vstep(state, _constrain(batch), key)
+                return {k: sums[k] + metrics[k] for k in metrics}
+
+        else:
+
+            def step_acc(state, batch, sums):
+                new_state, metrics = raw_step(state, batch)
+                return new_state, {k: sums[k] + metrics[k] for k in metrics}
+
+            def vstep_acc(state, batch, key, sums):
+                metrics = raw_vstep(state, batch, key)
+                return {k: sums[k] + metrics[k] for k in metrics}
+
         if jit:
             step = jax.jit(step, donate_argnums=(0,) if donate else ())
             vstep = jax.jit(vstep)
+            step_acc = jax.jit(
+                step_acc, donate_argnums=(0, 2) if donate else (2,)
+            )
+            vstep_acc = jax.jit(vstep_acc, donate_argnums=(3,))
         self.train_step = step
         self.valid_step = vstep
+        self._train_step_acc = step_acc
+        self._valid_step_acc = vstep_acc
 
         self.best_train = float("inf")
         self.best_val = float("inf")
@@ -180,20 +238,46 @@ class Trainer:
         with open(self.log_path, "a") as f:
             f.write(msg + "\n")
 
+    def _zero_sums(self, batch: dict, train: bool, key=None) -> dict:
+        """Zero metric accumulators, keyed via eval_shape (no compile)."""
+        if train:
+            _, m = jax.eval_shape(self.train_step, self.state, batch)
+        else:
+            m = jax.eval_shape(self.valid_step, self.state, batch, key)
+        return {k: jnp.zeros(s.shape, s.dtype) for k, s in m.items()}
+
+    def _put_batch(self, batch: dict) -> dict:
+        """Place the (host) batch: dp-sharded over the mesh when present;
+        multi-host processes contribute their local shard."""
+        if self.mesh is None:
+            return batch
+        from dex_tts_tpu.parallel import assemble_global_batch, shard_batch
+
+        if jax.process_count() > 1:
+            return assemble_global_batch(batch, self.mesh)
+        return shard_batch(batch, self.mesh)
+
     def run_epoch(self, loader: Iterable[dict], train: bool = True) -> dict:
-        sums, count = {}, 0
+        sums, count = None, 0
         key = jax.random.PRNGKey(int(self.state.step))
         for batch in loader:
             batch = {k: v for k, v in batch.items() if not isinstance(v, str)}
+            batch = self._put_batch(batch)
             if train:
-                self.state, metrics = self.train_step(self.state, batch)
+                if sums is None:
+                    sums = self._zero_sums(batch, train=True)
+                self.state, sums = self._train_step_acc(self.state, batch, sums)
             else:
                 key, sub = jax.random.split(key)
-                metrics = self.valid_step(self.state, batch, sub)
+                if sums is None:
+                    sums = self._zero_sums(batch, train=False, key=sub)
+                sums = self._valid_step_acc(self.state, batch, sub, sums)
             count += 1
-            for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-        return {k: v / max(count, 1) for k, v in sums.items()}
+        if sums is None:
+            return {}
+        # single host sync for the whole epoch
+        host = jax.device_get(sums)
+        return {k: float(v) / max(count, 1) for k, v in host.items()}
 
     def fit(
         self,

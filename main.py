@@ -38,7 +38,7 @@ def parse_args():
     return p.parse_args()
 
 
-def make_loaders(cfg, args):
+def make_loaders(cfg, args, process_count: int = 1, process_index: int = 0):
     load_style = cfg.get("model_family", "dex") == "dex"
     common = dict(
         cmu_path=cfg.path.get("cmu_path"),
@@ -54,6 +54,8 @@ def make_loaders(cfg, args):
         x_quantum=cfg.train.get("x_quantum", 32),
         y_quantum=cfg.train.get("y_quantum", 64),
         seed=args.seed,
+        process_count=process_count,
+        process_index=process_index,
     )
     return (
         lambda: BucketBatcher(train_ds, shuffle=True, **bq),
@@ -85,25 +87,33 @@ def make_synthesis_callback(cfg, model, args, n_samples: int = 2):
     from dex_tts_tpu.models.edm import SamplerConfig
     from dex_tts_tpu.pipeline import Synthesizer
 
+    # dataset / vocoder / Synthesizer (and its compiled bucket graphs) are
+    # built once and cached across invocations; each callback only swaps the
+    # current weights in, avoiding a full re-jit every syn_every epochs
+    cache: dict = {}
+
     def syn_fn(state, epoch):
         try:
-            ds = TextMelDataset(
-                cfg.path.val_path,
-                cmu_path=cfg.path.get("cmu_path"),
-                add_blank=cfg.model.get("add_blank", True),
-                load_style=cfg.get("model_family", "dex") == "dex",
-            )
-            voc, voc_params = load_vocoder(cfg)
-            variables = {
+            if "synth" not in cache:
+                cache["ds"] = TextMelDataset(
+                    cfg.path.val_path,
+                    cmu_path=cfg.path.get("cmu_path"),
+                    add_blank=cfg.model.get("add_blank", True),
+                    load_style=cfg.get("model_family", "dex") == "dex",
+                )
+                voc, voc_params = load_vocoder(cfg)
+                cache["synth"] = Synthesizer(
+                    model, {}, vocoder=voc, vocoder_params=voc_params,
+                    cmu_path=cfg.path.get("cmu_path"),
+                    sampler=SamplerConfig(num_steps=args.n_timesteps),
+                )
+            ds = cache["ds"]
+            synth = cache["synth"]
+            synth.set_variables({
                 "params": state.params,
                 "batch_stats": state.batch_stats,
                 "vq_stats": state.vq_stats,
-            }
-            synth = Synthesizer(
-                model, variables, vocoder=voc, vocoder_params=voc_params,
-                cmu_path=cfg.path.get("cmu_path"),
-                sampler=SamplerConfig(num_steps=args.n_timesteps),
-            )
+            })
             out_dir = os.path.join(cfg.exp_dir, "sample")
             os.makedirs(out_dir, exist_ok=True)
             for i in range(min(n_samples, len(ds))):
@@ -126,13 +136,28 @@ def make_synthesis_callback(cfg, model, args, n_samples: int = 2):
 
 
 def train(args):
+    from dex_tts_tpu import parallel
+
+    # multi-host runtime: no-op single-process; forms the global device set
+    # when JAX_PROCESS_COUNT>1 (must precede first backend use)
+    parallel.initialize()
+
     cfg = Config(args.config)
     seed_init(args.seed)
     set_experiment(cfg, tag=args.tag)
     model = build_model(cfg)
     out_size = compute_out_size(cfg)
 
-    train_loader_fn, valid_loader_fn, train_ds, _ = make_loaders(cfg, args)
+    n_devices = args.n_devices or len(jax.devices())
+    # dp requires the global batch to divide evenly across devices
+    while n_devices > 1 and int(cfg.train.batch_size) % n_devices:
+        n_devices -= 1
+    mesh = parallel.make_mesh(n_devices) if n_devices > 1 else None
+    train_loader_fn, valid_loader_fn, train_ds, _ = make_loaders(
+        cfg, args,
+        process_count=jax.process_count(),
+        process_index=jax.process_index(),
+    )
     init_batch = next(iter(train_loader_fn()))
     state, tx = create_train_state(
         model,
@@ -157,6 +182,7 @@ def train(args):
         save_epoch=int(cfg.train.get("save_epoch", 200)),
         syn_every=int(cfg.train.get("syn_every", 0)),
         syn_fn=syn_fn,
+        mesh=mesh,
     )
     if args.resume and trainer.ckpt.exists("last"):
         trainer.state = trainer.ckpt.restore(state, "last")

@@ -165,3 +165,57 @@ def test_dataset_style_loading(tmp_path):
     batch = next(iter(BucketBatcher(ds, batch_size=4)))
     assert batch["ref"].shape == batch["y"].shape
     assert batch["lf0"].shape == (4, batch["y"].shape[2])
+
+
+def test_process_sharded_batcher(tmp_path):
+    """process_count=2 shards load disjoint halves whose concat equals the
+    single-process batch and whose bucket shapes agree globally (the
+    multi-host data-feeding contract; SURVEY §2.2)."""
+    fl = make_fake_dataset(str(tmp_path))
+    kw = dict(batch_size=4, x_quantum=8, y_quantum=16, shuffle=False,
+              sort_by_length=False, prefetch=0)
+    full = list(BucketBatcher(TextMelDataset(fl), **kw))
+    shard0 = list(BucketBatcher(TextMelDataset(fl), process_count=2,
+                                process_index=0, **kw))
+    shard1 = list(BucketBatcher(TextMelDataset(fl), process_count=2,
+                                process_index=1, **kw))
+    assert len(full) == len(shard0) == len(shard1)
+    for f, a, b in zip(full, shard0, shard1):
+        for k in f:
+            assert a[k].shape == b[k].shape
+            assert a[k].shape[0] == f[k].shape[0] // 2
+            np.testing.assert_array_equal(
+                np.concatenate([a[k], b[k]], axis=0), f[k]
+            )
+
+
+def test_batcher_prefetch_equivalence(tmp_path):
+    fl = make_fake_dataset(str(tmp_path))
+    kw = dict(batch_size=4, x_quantum=8, y_quantum=16, seed=7)
+    eager = list(BucketBatcher(TextMelDataset(fl, seed=7), prefetch=0, **kw))
+    threaded = list(BucketBatcher(TextMelDataset(fl, seed=7), prefetch=2, **kw))
+    assert len(eager) == len(threaded) == 2
+    for e, t in zip(eager, threaded):
+        for k in e:
+            np.testing.assert_array_equal(e[k], t[k])
+
+
+def test_assembled_global_batch_matches_single_device(model_state):
+    """Local-shard assembly via jax.make_array_from_process_local_data feeds
+    the dp step with the same numbers as a plain single-device step."""
+    from dex_tts_tpu.parallel import assemble_global_batch
+
+    model, state, tx = model_state
+    mesh = make_mesh(8)
+    step_fn = make_train_step(model, tx, out_size=16, ema_decay=0.99)
+
+    batch = tiny_batch(8)
+    s1, m1 = jax.jit(step_fn)(state, batch)
+
+    gbatch = assemble_global_batch(batch, mesh)  # 1 process: local == global
+    for v in gbatch.values():
+        assert v.sharding.spec[0] == "dp"
+    pstate = replicate_state(state, mesh)
+    pstep = make_parallel_train_step(step_fn, mesh, donate=False)
+    s8, m8 = pstep(pstate, gbatch)
+    assert np.isclose(float(m1["total_loss"]), float(m8["total_loss"]), rtol=1e-4)
