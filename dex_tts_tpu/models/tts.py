@@ -168,11 +168,15 @@ class GeDEXTTS(nn.Module):
         temperature: float = 1.0,
         length_scale: float = 1.0,
         spk=None,
+        latents_noise=None,
         **cond_inputs,
     ):
         """Full text→mel. y_max_length is static (a frame bucket ≥ the true
         Σ durations, multiple of 4). Returns (enc_out, dec_out, attn,
         y_lengths); frames past each item's length are zero.
+        latents_noise: optional (B, F, y_max_length) standard-normal tensor
+        replacing the key-derived initial noise (deterministic replay /
+        cross-framework parity).
         reference: GeDEX-TTS/model/tts.py:27-56."""
         cond = self._cond_from_inputs(train=False, **cond_inputs)
         cond.pop("vq_loss", None)
@@ -201,10 +205,12 @@ class GeDEXTTS(nn.Module):
             return self.decoder(z, mask3, mu_y, t, train=False, **kw, **denoise_kwargs)
 
         k_latent, k_sample = jax.random.split(key)
-        latents = (
-            jax.random.normal(k_latent, mu_y.shape, mu_y.dtype) / temperature
-            + mu_y
+        noise = (
+            latents_noise.astype(mu_y.dtype)
+            if latents_noise is not None
+            else jax.random.normal(k_latent, mu_y.shape, mu_y.dtype)
         )
+        latents = noise / temperature + mu_y
         if self.is_initializing():
             # create decoder params eagerly — creating them inside the
             # sampler's lax.scan body would leak tracers out of the scan

@@ -183,6 +183,17 @@ class SamePad(nn.Module):
         return x
 
 
+class SamePad1d(nn.Module):
+    def __init__(self, k):
+        super().__init__()
+        self.remove = 1 if k % 2 == 0 else 0
+
+    def forward(self, x):
+        if self.remove > 0:
+            x = x[:, :, : -self.remove]
+        return x
+
+
 class TimestepEmbedder(nn.Module):
     def __init__(self, hidden, freq=256):
         super().__init__()
@@ -268,7 +279,7 @@ class DiTTwin(nn.Module):
 
     def __init__(self, in_channels, grid_h, patch=3, stride=2, hidden=32,
                  depth=1, num_heads=2, mlp_ratio=2.0, conv_pos=4,
-                 conv_pos_groups=2):
+                 conv_pos_groups=2, use_decoder=False):
         super().__init__()
         self.patch = patch
         self.stride = stride
@@ -297,6 +308,18 @@ class DiTTwin(nn.Module):
         self.blocks = nn.ModuleList(
             [DiTBlock(hidden, num_heads, mlp_ratio) for _ in range(depth)]
         )
+        self.use_decoder = use_decoder
+        if use_decoder:
+            # reference dit.py:383-398: decoder pos conv (1D) + blocks
+            self.decoder_pos_conv = nn.Sequential(
+                nn.Conv1d(hidden, hidden, conv_pos, padding=conv_pos // 2,
+                          groups=conv_pos_groups),
+                SamePad1d(conv_pos),
+                nn.GELU(),
+            )
+            self.decoder_blocks = nn.ModuleList(
+                [DiTBlock(hidden, num_heads, mlp_ratio) for _ in range(depth)]
+            )
         self.final_layer = FinalLayer(hidden, stride, in_channels)
 
     def forward(self, x, mask, t):
@@ -312,6 +335,12 @@ class DiTTwin(nn.Module):
         temb = self.t_embedder(t)
         for blk in self.blocks:
             tokens = blk(tokens, temb)
+        if self.use_decoder:
+            # reference dit.py:466-477: 1D pos conv, mean over channels
+            pos = self.decoder_pos_conv(tokens.transpose(1, 2))
+            tokens = tokens + pos.mean(dim=1, keepdim=True).transpose(1, 2)
+            for blk in self.decoder_blocks:
+                tokens = blk(tokens, temb)
         out = self.final_layer(tokens, temb)
         s = self.stride
         c = self.in_channels
@@ -753,3 +782,117 @@ class LF0EncoderTwin(nn.Module):
         x = self.out_conv(x.transpose(1, 2) * mask) * mask
         dec = self.proj(x.detach(), mask)
         return x, dec
+
+
+def torch_sequence_mask(lengths, max_len):
+    return (
+        torch.arange(max_len, device=lengths.device)[None, :]
+        < lengths[:, None]
+    ).float()
+
+
+def torch_generate_path(duration, mask):
+    """duration: (B, Tx); mask: (B, Tx, Ty) → monotonic path (B, Tx, Ty)
+    (reference: DEX-TTS/model/utils.py:37-51)."""
+    b, tx, ty = mask.shape
+    cum = torch.cumsum(duration, dim=-1)
+    path = torch_sequence_mask(cum.reshape(b * tx), ty).reshape(b, tx, ty)
+    path = path - F.pad(path, (0, 0, 1, 0))[:, :-1]
+    return path * mask
+
+
+class TTSTwin(nn.Module):
+    """Facade-level twin of the reference DEX-TTS synthesis graph
+    (reference: DEX-TTS/model/tts.py:14-92), composing the layer twins with
+    reference state naming so `dex_tts_torch_to_flax` converts the whole
+    tree in one call. Used for end-to-end text→mel parity of the
+    duration→path→prior→sampler wiring."""
+
+    def __init__(self, n_vocab=30, n_feats=12, channels=16, heads=2,
+                 layers=2, ffn=24, dp_channels=10, dim=8, dit_kwargs=None,
+                 tv_kwargs=None, tiv_kwargs=None, lf0_kwargs=None):
+        super().__init__()
+        self.n_feats = n_feats
+        self.dim = dim
+        mid = dim * 2
+        tv_kwargs = tv_kwargs or dict(
+            c_h=10, c_out=channels, c_out_g=14, num_layer=2, n_emb=8
+        )
+        tiv_kwargs = tiv_kwargs or dict(c_h=mid, c_out=6, num_layer=2)
+        lf0_kwargs = lf0_kwargs or dict(
+            c_h=8, c_out=channels, c_out_g=14, num_layer=2
+        )
+        self.encoder = TextEncoderTwin(
+            n_vocab, channels, heads, layers, ffn, n_feats, dp_channels,
+            use_adaln=True,
+        )
+        self.tv_encoder = TVEncoderTwin(c_in=n_feats, **tv_kwargs)
+        self.tiv_encoder = TIVEncoderTwin(c_in=n_feats, **tiv_kwargs)
+        self.lf0_encoder = LF0EncoderTwin(**lf0_kwargs)
+        self.conv_sty = nn.Conv1d(tv_kwargs["c_out_g"], mid, 1)
+
+        class _Dec(nn.Module):
+            def __init__(inner):
+                super().__init__()
+                inner.denoise_fn = DenoiserTwin(
+                    dim=dim, n_feats=n_feats, dit_kwargs=dit_kwargs
+                )
+
+        self.decoder = _Dec()
+
+    def encode_style(self, ref, ref_mask, sty, sty_mask, lf0, lf0_mask):
+        """reference: DEX-TTS/model/tts.py:38-51."""
+        lf0_enc, lf0_dec = self.lf0_encoder(lf0, lf0_mask)
+        sty_enc, sty_dec = self.tv_encoder(sty, sty_mask)
+        sty_enc = (sty_enc.sum(dim=-1) / sty_mask.sum(dim=-1)) + (
+            lf0_enc.sum(dim=-1) / lf0_mask.sum(dim=-1)
+        )
+        sty_dec = sty_dec + (
+            lf0_dec.sum(dim=-1) / lf0_mask.sum(dim=-1)
+        ).unsqueeze(-1)
+        sty_dec = self.conv_sty(sty_dec)
+
+        _, ref_skips = self.tiv_encoder(ref, ref_mask)
+        means, stds = [], []
+        for s in ref_skips:  # stats over the full padded axis
+            means.append(s.mean(-1, keepdim=True))
+            stds.append((s.var(-1) + 1e-5).sqrt().unsqueeze(-1))
+        ref_stats = (
+            torch.cat(means, dim=-1).transpose(1, 2),
+            torch.cat(stds, dim=-1).transpose(1, 2),
+        )
+        return sty_enc, sty_dec, ref_stats
+
+    def synthesize(self, x_ids, x_lengths, ref, ref_lengths, sty,
+                   sty_lengths, lf0, lf0_lengths, noise, y_max_length,
+                   sampler_fn, temperature=1.5, length_scale=1.0):
+        """reference: DEX-TTS/model/tts.py:33-74; sampler_fn(precond_net,
+        latents, mask, mu, ref_stats, sty, sty_mask) → mel (injected so the
+        test can use the actual reference ablation_sampler)."""
+        ref_mask = torch_sequence_mask(ref_lengths, ref.size(2)).unsqueeze(1)
+        sty_mask = torch_sequence_mask(sty_lengths, sty.size(2)).unsqueeze(1)
+        lf0_mask = torch_sequence_mask(lf0_lengths, lf0.size(1)).unsqueeze(1)
+        sty_enc, sty_dec, ref_stats = self.encode_style(
+            ref, ref_mask, sty, sty_mask, lf0, lf0_mask
+        )
+
+        x_mask = torch_sequence_mask(x_lengths, x_ids.size(1)).unsqueeze(1)
+        mu_x, logw = self.encoder(x_ids, x_mask, sty_enc)
+
+        w = torch.exp(logw) * x_mask
+        w_ceil = torch.ceil(w) * length_scale
+        y_lengths = torch.clamp_min(torch.sum(w_ceil, [1, 2]), 1).long()
+
+        y_mask = torch_sequence_mask(y_lengths, y_max_length).unsqueeze(1)
+        attn_mask = x_mask.unsqueeze(-1) * y_mask.unsqueeze(2)
+        attn = torch_generate_path(w_ceil.squeeze(1), attn_mask.squeeze(1))
+
+        mu_y = torch.matmul(attn.transpose(1, 2), mu_x.transpose(1, 2))
+        mu_y = mu_y.transpose(1, 2)  # (B, F, Ty)
+
+        latents = noise / temperature + mu_y
+        dec_out = sampler_fn(
+            self.decoder.denoise_fn, latents, y_mask, mu_y, ref_stats,
+            sty_dec, sty_mask,
+        )
+        return mu_y * y_mask, dec_out * y_mask, attn, y_lengths
