@@ -38,6 +38,7 @@ def build_dit_config(cfg: Config) -> DiTConfig:
         conv_pos=d.get("conv_pos", 16),
         conv_pos_groups=d.get("conv_pos_groups", 8),
         mask_type=d.get("mask_type", "random"),
+        use_decoder=d.get("use_decoder", False),
         attention=d.get("attention", "einsum"),
     )
 

@@ -51,6 +51,9 @@ class DiTConfig:
     conv_pos_groups: int = 8
     mask_type: str = "random"
     grid_h: int = 20  # input freq bins // stride
+    # lightweight DiT decoder after token unmasking (reference:
+    # DEX-TTS/model/dit.py:383-398,466-477 — off in every reference config)
+    use_decoder: bool = False
     dtype: str = "float32"
     # "einsum" (any backend) | "flash" | "flash_bf16" (TPU pallas kernel:
     # avoids materializing the T² score matrix in HBM; bf16 runs the
@@ -131,6 +134,30 @@ class ConvTimePosEmbed(nn.Module):
         )
         pos = nn.gelu(conv(x.astype(self.cfg.compute_dtype)), approximate=False)
         return jnp.mean(pos, axis=1, keepdims=True)  # mean over freq
+
+
+class ConvTokenPosEmbed(nn.Module):
+    """1-D grouped-conv relative position over the token axis, averaged
+    across channels — the decoder-side positional embedding.
+    reference: DEX-TTS/model/dit.py:92-117 (make_1dconv_pos + SamePad1d)
+    and :466-477 (forward_decoder: pos.mean(dim=1) broadcast over D)."""
+
+    cfg: DiTConfig
+
+    @nn.compact
+    def __call__(self, tokens):  # (B, N, D)
+        k = self.cfg.conv_pos
+        trim = 1 if k % 2 == 0 else 0
+        pos = nn.Conv(
+            features=self.cfg.hidden_size,
+            kernel_size=(k,),
+            padding=[(k // 2, k // 2 - trim)],
+            feature_group_count=self.cfg.conv_pos_groups,
+            dtype=self.cfg.compute_dtype,
+            name="pos_conv",
+        )(tokens.astype(self.cfg.compute_dtype))
+        pos = nn.gelu(pos, approximate=False)
+        return jnp.mean(pos, axis=-1, keepdims=True)  # (B, N, 1)
 
 
 class MHSA(nn.Module):
@@ -341,6 +368,14 @@ class DiT(nn.Module):
             filler = jnp.zeros((b, n_masked, tokens.shape[2]), tokens.dtype)
             tokens = jnp.concatenate([tokens, filler], axis=1)
             tokens = jnp.take_along_axis(tokens, ids_restore[:, :, None], axis=1)
+
+        if cfg.use_decoder:
+            # lightweight decoder over the unmasked token sequence
+            # (reference: dit.py:505-506,466-477)
+            pos = ConvTokenPosEmbed(cfg, name="decoder_pos_conv")(tokens)
+            tokens = tokens + pos.astype(tokens.dtype)
+            for i in range(cfg.depth):
+                tokens = DiTBlock(cfg, name=f"decoder_block_{i}")(tokens, t_emb)
 
         out = FinalLayer(cfg, name="final_layer")(tokens, t_emb)  # (B,N,s²C)
 
