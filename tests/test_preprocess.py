@@ -83,3 +83,39 @@ def test_filelist_duration_filter(tmp_path):
         rows, os.path.join(tmp_path, "fl"), min_frames=100, max_frames=300
     )
     assert sum(counts.values()) == 5  # frames 100,150,200,250,300
+
+
+def test_preprocess_text_frontend():
+    """Extended (pinyin/MFA) frontend: inventory parity with the reference
+    preprocess/text package and round-trip through {phone} spans
+    (reference: DEX-TTS/preprocess/text/__init__.py:15-55, pinyin.py)."""
+    from dex_tts_tpu.preprocess.text_frontend import (
+        MANDARIN_FINALS,
+        MANDARIN_INITIALS,
+        PINYIN_SYMBOLS,
+        clean_text,
+        sequence_to_text,
+        symbols,
+        text_to_sequence,
+    )
+
+    assert len(MANDARIN_INITIALS) == 23
+    assert len(MANDARIN_FINALS) == 37 * 5
+    assert PINYIN_SYMBOLS[-1] == "rr"
+    # [pad] + special + punct + letters + arpabet + pinyin + silences
+    assert len(symbols) == 1 + 1 + 10 + 52 + 84 + len(PINYIN_SYMBOLS) + 3
+    assert len(set(symbols)) == len(symbols)
+
+    # .lab cleaning matches the main cleaner pipeline behavior
+    assert clean_text("Dr. Strange  reads 2 books!") == (
+        "doctor strange reads two books!"
+    )
+
+    ids = text_to_sequence("go {sp HH AH0 l ou2 sil} now")
+    assert ids, "non-empty sequence"
+    assert sequence_to_text(ids) == "go {sp HH AH0 l ou2 sil} now"
+
+    # pinyin finals and silences resolve to ids; unknown phones are dropped
+    a = text_to_sequence("{zh ang4 rr}")
+    b = text_to_sequence("{zh ang4 rr BOGUS}")
+    assert a == b and len(a) == 3
