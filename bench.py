@@ -1,14 +1,18 @@
-"""Benchmark: end-to-end text→mel synthesis RTF per chip at 50 EDM steps.
+"""Benchmark: end-to-end synthesis RTF per chip at 50 EDM steps.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-Baseline (BASELINE.md / BASELINE.json north star): RTF ≤ 0.02 per chip on
-TPU v5e at 50 diffusion steps. vs_baseline = 0.02 / measured_RTF, so > 1.0
-means faster than the target.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
+Baseline (BASELINE.md / BASELINE.json north star): end-to-end synthesis
+RTF ≤ 0.02 per chip on TPU v5e at 50 diffusion steps. vs_baseline =
+0.02 / measured_RTF, so > 1.0 means faster than the target.
 
-Runs the flagship DeX-TTS at the reference VCTK scale
-(reference: DEX-TTS/config/VCTK/base.yaml), batch 16, ~8.9 s of audio per
-item (768 frames @ 256 hop / 22.05 kHz — long-sentence regime). Weights are
-randomly initialized — wall-clock is weight-independent.
+The headline metric runs text→mel→WAV in ONE jit graph: the flagship
+DeX-TTS at the reference VCTK scale (reference: DEX-TTS/config/VCTK/
+base.yaml) with the HiFi-GAN vocoder fused in (BASELINE config 4;
+reference synthesis path: DEX-TTS/src/evaluation.py:88-149). The
+text→mel-only RTF is reported alongside. Batch 16, ~8.9 s of audio per
+item (768 frames @ 256 hop / 22.05 kHz — long-sentence regime). Weights
+are randomly initialized — wall-clock is weight-independent. All tensors
+are jit arguments with random values (no constant folding).
 """
 
 import json
@@ -16,26 +20,44 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from __graft_entry__ import _full_size_dex, _style_inputs
 from dex_tts_tpu.models.edm import SamplerConfig
 from dex_tts_tpu.models.tts import DeXTTS
+from dex_tts_tpu.models.vocoder import HiFiGANConfig, HiFiGANGenerator
 
 SAMPLE_RATE = 22050
 HOP = 256
 N_STEPS = 50
 
 
+def _time(fn, *args, n_iters=3):
+    """Mean wall seconds per call; materializes a scalar per call (on the
+    remote axon tunnel block_until_ready alone does not wait)."""
+    out = fn(*args)
+    float(jnp.sum(out))  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = fn(*args)
+        float(jnp.sum(out))
+    return (time.perf_counter() - t0) / n_iters
+
+
 def main():
     b, tx, ty, t_ref = 16, 96, 768, 256
     model = _full_size_dex()
-    x = jnp.ones((b, tx), jnp.int32)
+    x = jnp.asarray(
+        np.random.default_rng(1).integers(1, 148, (b, tx)), jnp.int32
+    )
     x_lengths = jnp.full((b,), tx, jnp.int32)
     style = _style_inputs(b, 80, t_ref)
 
+    vocoder = HiFiGANGenerator(HiFiGANConfig(num_mels=80))
+
     @jax.jit
     def _init():
-        return model.init(
+        variables = model.init(
             {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
             jax.random.PRNGKey(2),
             x,
@@ -45,12 +67,15 @@ def main():
             **style,
             method=DeXTTS.synthesize,
         )
+        voc_params = vocoder.init(
+            jax.random.PRNGKey(3), jnp.zeros((1, 80, 16))
+        )["params"]
+        return variables, voc_params
 
-    variables = _init()
+    variables, voc_params = _init()
 
-    @jax.jit
-    def synth(variables, key, x, x_lengths, ref, ref_lengths, sty,
-              sty_lengths, lf0, lf0_lengths):
+    def _synth(variables, key, x, x_lengths, ref, ref_lengths, sty,
+               sty_lengths, lf0, lf0_lengths):
         return model.apply(
             variables,
             key,
@@ -69,8 +94,16 @@ def main():
             method=DeXTTS.synthesize,
         )
 
+    @jax.jit
+    def text_to_mel(variables, key, *args):
+        return _synth(variables, key, *args)[1]
+
+    @jax.jit
+    def text_to_wav(variables, voc_params, key, *args):
+        mel = _synth(variables, key, *args)[1]
+        return vocoder.apply({"params": voc_params}, mel)
+
     args = (
-        jax.random.PRNGKey(3),
         x,
         x_lengths,
         style["ref"],
@@ -80,29 +113,27 @@ def main():
         style["lf0"],
         style["lf0_lengths"],
     )
-
-    # warmup / compile. NB: materialize a scalar on host each iteration —
-    # on the remote-TPU (axon) backend block_until_ready alone does not
-    # guarantee remote completion.
-    out = synth(variables, *args)
-    float(jnp.sum(out[1]))
-
-    n_iters = 3
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = synth(variables, *args)
-        float(jnp.sum(out[1]))
-    elapsed = (time.perf_counter() - t0) / n_iters
+    key = jax.random.PRNGKey(4)
 
     audio_seconds = b * ty * HOP / SAMPLE_RATE
-    rtf = elapsed / audio_seconds
+    mel_s = _time(text_to_mel, variables, key, *args)
+    wav_s = _time(text_to_wav, variables, voc_params, key, *args)
+    rtf_mel = mel_s / audio_seconds
+    rtf_e2e = wav_s / audio_seconds
+
     print(
         json.dumps(
             {
-                "metric": f"text-to-mel synthesis RTF per chip ({N_STEPS}-step EDM, batch {b}, {ty} frames/item)",
-                "value": round(rtf, 6),
+                "metric": (
+                    f"end-to-end text-to-WAV synthesis RTF per chip "
+                    f"({N_STEPS}-step EDM + fused HiFi-GAN, batch {b}, "
+                    f"{ty} frames/item)"
+                ),
+                "value": round(rtf_e2e, 6),
                 "unit": "RTF (wall s / audio s)",
-                "vs_baseline": round(0.02 / rtf, 3),
+                "vs_baseline": round(0.02 / rtf_e2e, 3),
+                "text_to_mel_rtf": round(rtf_mel, 6),
+                "vocoder_overhead_rtf": round(rtf_e2e - rtf_mel, 6),
             }
         )
     )
