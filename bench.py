@@ -36,7 +36,7 @@ def _time(fn, *args, n_iters=3):
     """Mean wall seconds per call; materializes a scalar per call (on the
     remote axon tunnel block_until_ready alone does not wait)."""
     out = fn(*args)
-    float(jnp.sum(out))  # compile + warmup
+    assert np.isfinite(float(jnp.sum(out))), "non-finite output"  # + warmup
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = fn(*args)

@@ -254,10 +254,16 @@ def _unet_resnet(state, name):
 
 
 def _unet_attn(state, name):
+    # the reference's fused to_qkv conv weight (3·hidden, C, 1, 1) splits
+    # into our three dense kernels (C, hidden) — out-channel order is
+    # [q; k; v] (reference rearrange 'b (qkv heads c) h w', diffusion.py:88)
+    w = state[f"{name}.fn.fn.to_qkv.weight"][:, :, 0, 0]  # (3h, C)
+    hidden = w.shape[0] // 3
     return {
         "fn": {
-            "to_qkv": {"kernel": np.transpose(
-                state[f"{name}.fn.fn.to_qkv.weight"], (2, 3, 1, 0))},
+            "to_q": {"kernel": np.ascontiguousarray(w[:hidden].T)},
+            "to_k": {"kernel": np.ascontiguousarray(w[hidden : 2 * hidden].T)},
+            "to_v": {"kernel": np.ascontiguousarray(w[2 * hidden :].T)},
             "to_out": _conv2d(state, f"{name}.fn.fn.to_out"),
         },
         "g": state[f"{name}.fn.g"],

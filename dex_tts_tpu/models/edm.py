@@ -139,7 +139,8 @@ class SamplerConfig:
     s_noise: float = 1.0
     # lax.scan unroll factor for the sampling loop (1 = rolled). XLA fuses
     # unrolled bodies better; compile time grows with the factor.
-    unroll: int = 1
+    # 2 measured ~1.2% faster than 1 on v5e at the bench shapes; 5 is flat.
+    unroll: int = 2
 
 
 def _schedule_fns(cfg: SamplerConfig, vp_beta_d: float, vp_beta_min: float):

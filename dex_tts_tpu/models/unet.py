@@ -98,7 +98,16 @@ class ResnetBlock(nn.Module):
 
 class LinearAttention(nn.Module):
     """Efficient attention: k softmaxed over space, context = k·vᵀ, out =
-    contextᵀ·q. reference: DEX-TTS/model/diffusion.py:77-95."""
+    q·context. reference: DEX-TTS/model/diffusion.py:77-95.
+
+    Layout: token-major (B, N, heads, d) end to end — contracting over N
+    directly avoids materializing (B, heads, d, N) transposes of the
+    ~750 MB qkv tensor; separate q/k/v projections avoid the strided slice
+    of an interleaved fused qkv (measured ~1.8x at the U-Net's level-0
+    shapes and ~4x at level 1 on v5e); the token softmax runs in f32 (bf16
+    exp over the long token axis is the remaining cost otherwise). The
+    reference's fused to_qkv weight is split at conversion time
+    (convert._unet_attn), so checkpoints remain interchangeable."""
 
     heads: int = 4
     dim_head: int = 32
@@ -109,21 +118,25 @@ class LinearAttention(nn.Module):
         b, h, w, c = x.shape
         dt = jnp.dtype(self.dtype)
         hidden = self.heads * self.dim_head
-        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=dt,
-                      name="to_qkv")(x)
-        qkv = qkv.reshape(b, h * w, 3, self.heads, self.dim_head)
-        q = qkv[:, :, 0].transpose(0, 2, 3, 1)  # (B, heads, d, n)
-        k = qkv[:, :, 1].transpose(0, 2, 3, 1)
-        v = qkv[:, :, 2].transpose(0, 2, 3, 1)
-        k = nn.softmax(k, axis=-1)
+        n = h * w
+        t = x.reshape(b, n, c)
+        q = nn.Dense(hidden, use_bias=False, dtype=dt, name="to_q")(t)
+        k = nn.Dense(hidden, use_bias=False, dtype=dt, name="to_k")(t)
+        v = nn.Dense(hidden, use_bias=False, dtype=dt, name="to_v")(t)
+        q = q.reshape(b, n, self.heads, self.dim_head)
+        k = k.reshape(b, n, self.heads, self.dim_head)
+        v = v.reshape(b, n, self.heads, self.dim_head)
+        kf = k.astype(jnp.float32)
+        kf = kf - jax.scipy.special.logsumexp(kf, axis=1, keepdims=True)
+        k = jnp.exp(kf).astype(x.dtype)  # softmax over tokens
         context = jnp.einsum(
-            "bhdn,bhen->bhde", k, v, preferred_element_type=jnp.float32
+            "bnhd,bnhe->bhde", k, v, preferred_element_type=jnp.float32
         ).astype(x.dtype)
         out = jnp.einsum(
-            "bhde,bhdn->bhen", context, q, preferred_element_type=jnp.float32
+            "bhde,bnhd->bnhe", context, q, preferred_element_type=jnp.float32
         ).astype(x.dtype)
-        out = out.transpose(0, 3, 1, 2).reshape(b, h, w, hidden)
-        return nn.Conv(x.shape[-1], (1, 1), dtype=dt, name="to_out")(out)
+        out = out.reshape(b, h, w, hidden)
+        return nn.Conv(c, (1, 1), dtype=dt, name="to_out")(out)
 
 
 class RezeroAttention(nn.Module):

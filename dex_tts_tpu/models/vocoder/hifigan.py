@@ -29,6 +29,10 @@ class HiFiGANConfig:
     upsample_initial_channel: int = 512
     resblock_kernel_sizes: tuple = (3, 7, 11)
     resblock_dilation_sizes: tuple = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    # compute dtype of the conv stack (params stay float32). Plain (non-
+    # grouped) 1-D convs run fast in bfloat16 on v5e; the final conv_post +
+    # tanh stay float32 regardless so the waveform keeps full precision.
+    dtype: str = "float32"
 
 
 def _same_pad(kernel: int, dilation: int = 1) -> int:
@@ -42,9 +46,11 @@ class ResBlock(nn.Module):
     channels: int
     kernel_size: int
     dilations: tuple
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
+        dt = jnp.dtype(self.dtype)
         for i, d in enumerate(self.dilations):
             h = nn.leaky_relu(x, LRELU_SLOPE)
             h = nn.Conv(
@@ -52,6 +58,7 @@ class ResBlock(nn.Module):
                 (self.kernel_size,),
                 kernel_dilation=(d,),
                 padding=[(_same_pad(self.kernel_size, d),) * 2],
+                dtype=dt,
                 name=f"conv1_{i}",
             )(h)
             h = nn.leaky_relu(h, LRELU_SLOPE)
@@ -59,6 +66,7 @@ class ResBlock(nn.Module):
                 self.channels,
                 (self.kernel_size,),
                 padding=[(_same_pad(self.kernel_size),) * 2],
+                dtype=dt,
                 name=f"conv2_{i}",
             )(h)
             x = x + h
@@ -72,9 +80,11 @@ class HiFiGANGenerator(nn.Module):
     def __call__(self, mel):
         """mel: (B, num_mels, T) log-mel → waveform (B, T·256) in [-1, 1]."""
         cfg = self.cfg
-        x = mel.swapaxes(1, 2)  # NWC
+        dt = jnp.dtype(cfg.dtype)
+        x = mel.swapaxes(1, 2).astype(dt)  # NWC
         x = nn.Conv(
-            cfg.upsample_initial_channel, (7,), padding=[(3, 3)], name="conv_pre"
+            cfg.upsample_initial_channel, (7,), padding=[(3, 3)], dtype=dt,
+            name="conv_pre",
         )(x)
 
         for i, (u, k) in enumerate(
@@ -91,16 +101,20 @@ class HiFiGANGenerator(nn.Module):
                 strides=(u,),
                 padding=[(p, p)],
                 transpose_kernel=True,
+                dtype=dt,
                 name=f"up_{i}",
             )(x)
             acc = None
             for j, (rk, rd) in enumerate(
                 zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
             ):
-                out = ResBlock(ch, rk, tuple(rd), name=f"resblock_{i}_{j}")(x)
+                out = ResBlock(
+                    ch, rk, tuple(rd), dtype=cfg.dtype,
+                    name=f"resblock_{i}_{j}",
+                )(x)
                 acc = out if acc is None else acc + out
             x = acc / len(cfg.resblock_kernel_sizes)
 
-        x = nn.leaky_relu(x)  # torch default slope 0.01 here (models.py:164)
+        x = nn.leaky_relu(x.astype(jnp.float32))  # torch default slope 0.01 (models.py:164)
         x = nn.Conv(1, (7,), padding=[(3, 3)], name="conv_post")(x)
         return jnp.tanh(x)[:, :, 0]

@@ -12,7 +12,11 @@ Run on the TPU: python scripts/profile_denoiser.py [--b 16] [--w 768]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
