@@ -15,6 +15,7 @@ are randomly initialized — wall-clock is weight-independent. All tensors
 are jit arguments with random values (no constant folding).
 """
 
+import argparse
 import json
 import time
 
@@ -25,7 +26,12 @@ import numpy as np
 from __graft_entry__ import _full_size_dex, _style_inputs
 from dex_tts_tpu.models.edm import SamplerConfig
 from dex_tts_tpu.models.tts import DeXTTS
-from dex_tts_tpu.models.vocoder import HiFiGANConfig, HiFiGANGenerator
+from dex_tts_tpu.models.vocoder import (
+    BigVGANConfig,
+    BigVGANGenerator,
+    HiFiGANConfig,
+    HiFiGANGenerator,
+)
 
 SAMPLE_RATE = 22050
 HOP = 256
@@ -45,6 +51,11 @@ def _time(fn, *args, n_iters=3):
 
 
 def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--vocoder", choices=["hifigan", "bigvgan"],
+                   default="hifigan")
+    args = p.parse_args()
+
     b, tx, ty, t_ref = 16, 96, 768, 256
     model = _full_size_dex()
     x = jnp.asarray(
@@ -53,7 +64,10 @@ def main():
     x_lengths = jnp.full((b,), tx, jnp.int32)
     style = _style_inputs(b, 80, t_ref)
 
-    vocoder = HiFiGANGenerator(HiFiGANConfig(num_mels=80))
+    if args.vocoder == "bigvgan":
+        vocoder = BigVGANGenerator(BigVGANConfig(num_mels=80))
+    else:
+        vocoder = HiFiGANGenerator(HiFiGANConfig(num_mels=80))
 
     @jax.jit
     def _init():
@@ -103,7 +117,7 @@ def main():
         mel = _synth(variables, key, *args)[1]
         return vocoder.apply({"params": voc_params}, mel)
 
-    args = (
+    inputs = (
         x,
         x_lengths,
         style["ref"],
@@ -116,8 +130,8 @@ def main():
     key = jax.random.PRNGKey(4)
 
     audio_seconds = b * ty * HOP / SAMPLE_RATE
-    mel_s = _time(text_to_mel, variables, key, *args)
-    wav_s = _time(text_to_wav, variables, voc_params, key, *args)
+    mel_s = _time(text_to_mel, variables, key, *inputs)
+    wav_s = _time(text_to_wav, variables, voc_params, key, *inputs)
     rtf_mel = mel_s / audio_seconds
     rtf_e2e = wav_s / audio_seconds
 
@@ -126,7 +140,7 @@ def main():
             {
                 "metric": (
                     f"end-to-end text-to-WAV synthesis RTF per chip "
-                    f"({N_STEPS}-step EDM + fused HiFi-GAN, batch {b}, "
+                    f"({N_STEPS}-step EDM + fused {args.vocoder}, batch {b}, "
                     f"{ty} frames/item)"
                 ),
                 "value": round(rtf_e2e, 6),

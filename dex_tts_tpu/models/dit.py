@@ -244,6 +244,15 @@ class MHSA(nn.Module):
                 block_k_major=block_k,
                 block_k=block_k,
                 block_b=1,
+                # backward blocks (required when the program is
+                # differentiated, i.e. flash attention in the train step)
+                block_q_major_dkv=block_q,
+                block_q_dkv=block_q,
+                block_k_major_dkv=block_k,
+                block_k_dkv=block_k,
+                block_q_dq=block_q,
+                block_k_major_dq=block_k,
+                block_k_dq=block_k,
             ),
         )
         return out[:, :, :t, :].transpose(0, 2, 1, 3).astype(q.dtype)

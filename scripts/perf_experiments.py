@@ -150,6 +150,8 @@ def main():
         exp_linattn2()
     if args.exp in ("dit",):
         exp_dit()
+    if args.exp in ("dit2",):
+        exp_dit2()
     if args.exp in ("unroll", "all"):
         exp_unroll()
 
@@ -262,6 +264,73 @@ def exp_dit():
     fl = FinalLayer(cfg)
     p = jax.jit(lambda: fl.init(jax.random.PRNGKey(0), tokens, temb))()
     print(f"final:      {timeit(jax.jit(lambda p, a, b: fl.apply(p, a, b)), p, tokens, temb)*1e3:.2f} ms")
+
+
+
+
+def exp_dit2():
+    """pos-conv dtype variants + flash attention block sizes that divide
+    3840 exactly (zero padding) vs the power-of-two defaults."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    rng = np.random.default_rng(0)
+    grid = jnp.asarray(rng.standard_normal((B, 20, TY // 4, 256)), jnp.bfloat16)
+
+    # grouped 16x16 pos conv: f32 (current) vs bf16 vs smaller kernel dims
+    for dt, label in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+        conv = nn.Conv(256, (16, 16), padding=[(8, 7), (8, 7)],
+                       feature_group_count=8, dtype=dt)
+        p = jax.jit(lambda conv=conv: conv.init(jax.random.PRNGKey(0), grid.astype(dt)))()
+        f = jax.jit(lambda p, a, conv=conv, dt=dt: jnp.mean(
+            nn.gelu(conv.apply(p, a.astype(dt)), approximate=False), axis=1, keepdims=True))
+        print(f"posconv {label}: {timeit(f, p, grid)*1e3:.2f} ms")
+
+    # depthwise (groups=256) comparison — is groups=8 the problem?
+    conv = nn.Conv(256, (16, 16), padding=[(8, 7), (8, 7)],
+                   feature_group_count=256, dtype=jnp.float32)
+    p = jax.jit(lambda: conv.init(jax.random.PRNGKey(0), grid.astype(jnp.float32)))()
+    f = jax.jit(lambda p, a: jnp.mean(
+        nn.gelu(conv.apply(p, a.astype(jnp.float32)), approximate=False), axis=1, keepdims=True))
+    print(f"posconv depthwise f32: {timeit(f, p, grid)*1e3:.2f} ms")
+
+    # 1D time-only grouped conv (k=16 over W), f32 — candidate cheaper form
+    conv = nn.Conv(256, (1, 16), padding=[(0, 0), (8, 7)],
+                   feature_group_count=8, dtype=jnp.float32)
+    p = jax.jit(lambda: conv.init(jax.random.PRNGKey(0), grid.astype(jnp.float32)))()
+    f = jax.jit(lambda p, a: jnp.mean(
+        nn.gelu(conv.apply(p, a.astype(jnp.float32)), approximate=False), axis=1, keepdims=True))
+    print(f"posconv 1x16 f32: {timeit(f, p, grid)*1e3:.2f} ms")
+
+    # flash attention block sizes at T=3840, hd=128, heads=2
+    t = 3840
+    q = jnp.asarray(rng.standard_normal((B, 2, t, 128)), jnp.bfloat16)
+    for bq, bk in ((2048, 1024), (1280, 1280), (1920, 1280), (3840, 1280),
+                   (1280, 640), (768, 768)):
+        mult = max(bq, bk)
+        tp = -(-t // mult) * mult
+        if tp % bq or tp % bk:
+            continue
+        pad = tp - t
+        qq = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        seg = (jnp.arange(tp) >= t).astype(jnp.int32)[None].repeat(B, 0)
+
+        def f(a, bq=bq, bk=bk, seg=seg):
+            return flash_attention(
+                a, a, a, segment_ids=SegmentIds(q=seg, kv=seg),
+                sm_scale=128**-0.5,
+                block_sizes=BlockSizes(block_q=bq, block_k_major=bk,
+                                       block_k=bk, block_b=1),
+            )
+
+        try:
+            tms = timeit(jax.jit(f), qq) * 1e3
+            print(f"flash bq={bq} bk={bk} (pad {pad}): {tms:.2f} ms")
+        except Exception as e:
+            print(f"flash bq={bq} bk={bk}: FAILED {type(e).__name__}")
 
 
 if __name__ == "__main__":

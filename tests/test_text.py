@@ -124,3 +124,36 @@ def test_cmudict_alternates_and_invalid():
 def test_intersperse():
     assert intersperse([1, 2, 3], 0) == [0, 1, 0, 2, 0, 3, 0]
     assert intersperse([], 9) == [9]
+
+
+def test_real_cmu_dictionary_golden():
+    """Tokenization with the shipped CMU dictionary matches the reference
+    frontend bit-for-bit (goldens computed with the actual reference
+    text module + resources/cmu_dictionary;
+    reference: DEX-TTS/text/__init__.py:22-62)."""
+    import os
+
+    from dex_tts_tpu.text import CMUDict, text_to_sequence
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dict_path = os.path.join(root, "resources", "cmu_dictionary")
+    assert os.path.isfile(dict_path), "resources/cmu_dictionary must ship"
+    d = CMUDict(dict_path)
+    goldens = {
+        "The Crown, and Dr. Smith's 'quick' brown-fox!": [
+            91, 73, 11, 40, 55, 52, 60, 51, 6, 11, 73, 119, 90, 11, 90, 66,
+            116, 133, 97, 11, 131, 118, 109, 134, 131, 11, 3, 54, 58, 46, 40,
+            48, 3, 11, 39, 55, 52, 60, 51, 1, 43, 52, 61, 2,
+        ],
+        "printing differs from most other arts": [
+            129, 130, 109, 119, 133, 108, 120, 11, 90, 109, 104, 97, 146, 11,
+            104, 130, 74, 118, 11, 118, 123, 131, 133, 11, 74, 91, 97, 11,
+            66, 130, 133, 131,
+        ],
+        "Turn left on {HH AW1 S S T AH0 N} Street.": [
+            57, 58, 55, 51, 11, 49, 42, 43, 57, 11, 52, 51, 11, 106, 82, 131,
+            131, 133, 73, 119, 11, 56, 57, 55, 42, 42, 57, 7,
+        ],
+    }
+    for text, want in goldens.items():
+        assert text_to_sequence(text, dictionary=d) == want, text

@@ -219,3 +219,36 @@ def test_assembled_global_batch_matches_single_device(model_state):
     pstep = make_parallel_train_step(step_fn, mesh, donate=False)
     s8, m8 = pstep(pstate, gbatch)
     assert np.isclose(float(m1["total_loss"]), float(m8["total_loss"]), rtol=1e-4)
+
+
+def test_trainer_epoch_metric_accumulation(tmp_path):
+    """run_epoch's device-side metric sums average to the same values as
+    stepping manually (single host sync per epoch)."""
+    from dex_tts_tpu.train import Trainer
+
+    model = tiny_model()
+    state, tx = create_train_state(model, tiny_batch(), out_size=16, lr=1e-3)
+    batches = [tiny_batch(), tiny_batch(), tiny_batch()]
+
+    trainer = Trainer(
+        model, state, tx, exp_dir=str(tmp_path), out_size=16,
+        ema_decay=0.99, donate=False,
+    )
+    # manual reference: same step fn, same state, same batches
+    want_state = state
+    sums = {}
+    for b in batches:
+        want_state, m = trainer.train_step(want_state, b)
+        for k, v in m.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+    want = {k: v / len(batches) for k, v in sums.items()}
+
+    got = trainer.run_epoch(iter(batches), train=True)
+    assert set(got) == set(want)
+    for k in want:
+        assert np.isclose(got[k], want[k], rtol=1e-5), (k, got[k], want[k])
+    assert int(trainer.state.step) == 3
+
+    # validation path
+    got_val = trainer.run_epoch(iter(batches), train=False)
+    assert np.isfinite(got_val["total_loss"])
