@@ -57,7 +57,14 @@ def main():
     args = p.parse_args()
 
     b, tx, ty, t_ref = 16, 96, 768, 256
-    model = _full_size_dex()
+    # BigVGAN fused into the same graph shrinks the scoped-vmem budget XLA
+    # leaves for the flash kernel; smaller blocks keep it under 16 MiB
+    dit_kw = (
+        dict(flash_block_q=1024, flash_block_k=1024)
+        if args.vocoder == "bigvgan"
+        else {}
+    )
+    model = _full_size_dex(**dit_kw)
     x = jnp.asarray(
         np.random.default_rng(1).integers(1, 148, (b, tx)), jnp.int32
     )

@@ -60,6 +60,12 @@ class DiTConfig:
     # matmuls at MXU-native precision with f32 softmax statistics —
     # validated to ~2e-5 of the einsum path)
     attention: str = "einsum"
+    # flash block-size overrides (None = padding-aware auto selection).
+    # Use smaller blocks (e.g. 1024/1024) when the surrounding graph pushes
+    # the kernel over the 16 MiB scoped-vmem limit (seen with the BigVGAN
+    # generator fused into the same jit).
+    flash_block_q: int | None = None
+    flash_block_k: int | None = None
 
     @property
     def compute_dtype(self):
@@ -226,6 +232,11 @@ class MHSA(nn.Module):
             if best is None or key_ < best[0]:
                 best = (key_, bq, tp)
         _, block_q, t_pad = best
+        if self.cfg.flash_block_q or self.cfg.flash_block_k:
+            block_q = self.cfg.flash_block_q or block_q
+            block_k = self.cfg.flash_block_k or block_k
+            mult = max(block_q, block_k)
+            t_pad = -(-t // mult) * mult
         pad = t_pad - t
 
         def prep(a):

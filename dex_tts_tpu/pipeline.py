@@ -55,12 +55,18 @@ class Synthesizer:
         y_quantum: int = 64,
         use_ema: bool = False,
         ema_params=None,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh — serving-time data parallelism.
+        Batch inputs are laid out over the mesh's 'dp' axis (weights
+        replicated); each bucket graph then runs sharded across chips with
+        no code changes (batch size must divide the dp size)."""
         if use_ema and ema_params is not None:
             variables = dict(variables)
             variables["params"] = ema_params
         self.model = model
-        self.variables = variables
+        self.mesh = mesh
+        self.set_variables(variables)
         self.vocoder = vocoder
         self.vocoder_params = vocoder_params
         self.cmudict = CMUDict(cmu_path) if cmu_path else None
@@ -103,7 +109,26 @@ class Synthesizer:
 
     def set_variables(self, variables) -> None:
         """Swap model weights; compiled bucket graphs are reused."""
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            variables = jax.device_put(
+                variables, NamedSharding(self.mesh, P())
+            )
         self.variables = variables
+
+    def _place(self, inputs: dict) -> dict:
+        """dp-shard the batch inputs over the mesh (no-op without one)."""
+        if self.mesh is None:
+            return inputs
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return {
+            k: jax.device_put(
+                v, NamedSharding(self.mesh, P("dp", *([None] * (v.ndim - 1))))
+            )
+            for k, v in inputs.items()
+        }
 
     def _encode_impl(self, variables, x, x_lengths, spk=None, **cond_inputs):
         return self.model.apply(
@@ -224,6 +249,8 @@ class Synthesizer:
                 lf0=jnp.asarray(lf0),
                 lf0_lengths=jnp.asarray(lens),
             )
+
+        inputs = self._place(inputs)
 
         # phase 1: duration estimate → frame bucket
         n_frames = self.predict_frames(inputs, length_scale)

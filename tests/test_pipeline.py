@@ -107,3 +107,25 @@ def test_f0_on_known_tone():
     assert (f0_silence == 0).all()
     lf0 = extract_lf0(wav, sr, hop)
     assert abs(np.exp(np.median(lf0[lf0 != 0])) - 220.0) < 5.0
+
+
+def test_tts_data_parallel_mesh_matches_single(synthesizer):
+    """Serving DP: a Synthesizer with a dp mesh produces the same wavs as
+    the single-device one (weights replicated, batch sharded over 'dp')."""
+    from dex_tts_tpu.parallel import make_mesh
+
+    texts = ["one", "two", "three", "four"]  # batch 4 over dp=4
+    base = synthesizer.tts(texts, key=jax.random.PRNGKey(5))
+
+    dp = Synthesizer(
+        synthesizer.model, synthesizer.variables,
+        vocoder=synthesizer.vocoder,
+        vocoder_params=synthesizer.vocoder_params,
+        sampler=SamplerConfig(num_steps=2), x_quantum=8, y_quantum=16,
+        mesh=make_mesh(4),
+    )
+    got = dp.tts(texts, key=jax.random.PRNGKey(5))
+    assert len(got) == len(base)
+    for a, b in zip(got, base):
+        assert a["n_frames"] == b["n_frames"]
+        np.testing.assert_allclose(a["mel"], b["mel"], atol=2e-5)
