@@ -117,4 +117,6 @@ def mean_and_stderr(values: list[float]) -> tuple[float, float]:
     arr = np.asarray(values, np.float64)
     if len(arr) == 0:
         return float("nan"), float("nan")
+    if len(arr) == 1:  # stderr undefined for a single sample
+        return float(arr[0]), 0.0
     return float(arr.mean()), float(arr.std(ddof=1) / np.sqrt(len(arr)))
