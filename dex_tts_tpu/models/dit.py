@@ -184,11 +184,11 @@ class MHSA(nn.Module):
         qkv = qkv.reshape(b, t, 3, h, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-        use_flash = (
-            cfg.attention.startswith("flash")
-            and jax.default_backend() == "tpu"
-        )  # pallas TPU kernel; einsum fallback elsewhere (e.g. CPU tests)
-        if use_flash:
+        on_tpu = jax.default_backend() == "tpu"
+        # pallas TPU kernels; einsum fallback elsewhere (e.g. CPU tests)
+        if cfg.attention.startswith("splash") and on_tpu:
+            out = self._splash(q, k, v, hd)
+        elif cfg.attention.startswith("flash") and on_tpu:
             out = self._flash(q, k, v, hd)
         else:
             scores = jnp.einsum(
@@ -201,6 +201,47 @@ class MHSA(nn.Module):
         return nn.Dense(d, use_bias=True, dtype=dt, name="proj")(
             out.reshape(b, t, d)
         )
+
+    def _splash(self, q, k, v, hd):
+        """Splash-attention pallas kernel (newer than flash_attention;
+        measured ~2.3x faster at the DiT shapes on v5e with 1024/1024
+        blocks — larger blocks exceed the 16 MiB scoped-vmem limit).
+        Bucket padding is masked exactly via segment ids."""
+        from jax.experimental.pallas.ops.tpu import splash_attention as sa
+
+        b, t, heads = q.shape[0], q.shape[1], q.shape[2]
+        dt = (
+            jnp.bfloat16
+            if self.cfg.attention == "splash_bf16"
+            else jnp.float32
+        )
+        blk = self.cfg.flash_block_q or 1024
+        t_pad = -(-t // 128) * 128 if t < blk else -(-t // blk) * blk
+        blk = min(blk, t_pad)
+        pad = t_pad - t
+
+        def prep(a):
+            a = a.transpose(0, 2, 1, 3).astype(dt)  # (B, H, T, D)
+            return jnp.pad(a, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+        mask = sa.MultiHeadMask([sa.FullMask((t_pad, t_pad))] * heads)
+        kernel = sa.make_splash_mha(
+            mask,
+            head_shards=1,
+            q_seq_shards=1,
+            block_sizes=sa.BlockSizes(
+                block_q=blk, block_kv=blk, block_kv_compute=blk,
+                block_q_dkv=blk, block_kv_dkv=blk, block_kv_dkv_compute=blk,
+                block_q_dq=blk, block_kv_dq=blk,
+            ),
+        )
+        seg1 = (jnp.arange(t_pad) >= t).astype(jnp.int32)
+        sseg = sa.SegmentIds(q=seg1, kv=seg1)
+        scale = jnp.asarray(hd**-0.5, dt)
+        out = jax.vmap(
+            lambda qq, kk, vv: kernel(qq * scale, kk, vv, segment_ids=sseg)
+        )(prep(q), prep(k), prep(v))
+        return out[:, :, :t, :].transpose(0, 2, 1, 3).astype(q.dtype)
 
     def _flash(self, q, k, v, hd):
         """Pallas TPU flash attention; pads T to a block multiple and masks

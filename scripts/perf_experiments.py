@@ -152,6 +152,8 @@ def main():
         exp_dit()
     if args.exp in ("dit2",):
         exp_dit2()
+    if args.exp in ("splash",):
+        exp_splash()
     if args.exp in ("unroll", "all"):
         exp_unroll()
 
@@ -331,6 +333,68 @@ def exp_dit2():
             print(f"flash bq={bq} bk={bk} (pad {pad}): {tms:.2f} ms")
         except Exception as e:
             print(f"flash bq={bq} bk={bk}: FAILED {type(e).__name__}")
+
+
+
+
+def exp_splash():
+    """Splash attention (newer pallas MHA kernel) vs our flash config at the
+    DiT shapes: B=16, heads=2, T=3840, hd=128, full mask + padding seg ids."""
+    from jax.experimental.pallas.ops.tpu import splash_attention as sa
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes as FBlock,
+        SegmentIds as FSeg,
+        flash_attention,
+    )
+
+    rng = np.random.default_rng(0)
+    t, heads, hd = 3840, 2, 128
+    q = jnp.asarray(rng.standard_normal((B, heads, t, hd)), jnp.bfloat16)
+
+    # current flash config (pad to 4096)
+    tp = 4096
+    pad = tp - t
+    qq = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    seg = (jnp.arange(tp) >= t).astype(jnp.int32)[None].repeat(B, 0)
+
+    def f_flash(a):
+        return flash_attention(
+            a, a, a, segment_ids=FSeg(q=seg, kv=seg), sm_scale=hd**-0.5,
+            block_sizes=FBlock(block_q=2048, block_k_major=1024,
+                               block_k=1024, block_b=1),
+        )
+
+    print(f"flash 2048/1024: {timeit(jax.jit(f_flash), qq)*1e3:.2f} ms")
+
+    # splash MHA, full mask over padded length, segment ids for padding
+    mask = sa.MultiHeadMask(
+        [sa.FullMask((tp, tp)) for _ in range(heads)]
+    )
+    for bq, bkv in ((2048, 1024), (1024, 1024), (512, 1024)):
+        try:
+            kernel = sa.make_splash_mha(
+                mask,
+                head_shards=1,
+                q_seq_shards=1,
+                block_sizes=sa.BlockSizes(
+                    block_q=bq, block_kv=bkv, block_kv_compute=bkv,
+                    block_q_dkv=bq, block_kv_dkv=bkv,
+                    block_kv_dkv_compute=bkv, block_q_dq=bq, block_kv_dq=bkv,
+                ),
+            )
+            sseg = sa.SegmentIds(q=seg[0], kv=seg[0])
+
+            def f_splash(a, kernel=kernel, sseg=sseg):
+                fn = jax.vmap(
+                    lambda qq, kk, vv: kernel(
+                        qq * (hd**-0.5), kk, vv, segment_ids=sseg
+                    )
+                )
+                return fn(a, a, a)
+
+            print(f"splash {bq}/{bkv}: {timeit(jax.jit(f_splash), qq)*1e3:.2f} ms")
+        except Exception as e:
+            print(f"splash {bq}/{bkv}: FAILED {type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":

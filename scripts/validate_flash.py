@@ -1,4 +1,4 @@
-"""TPU-only validation: DiT flash attention path vs the einsum path.
+"""TPU-only validation: DiT flash/splash attention paths vs the einsum path.
 
 Run on a TPU host: python scripts/validate_flash.py
 (The pytest suite runs on the CPU backend where the pallas TPU kernel is
@@ -29,6 +29,7 @@ def main():
     einsum_dit = DiT(DiTConfig(**base, attention="einsum"))
     flash_dit = DiT(DiTConfig(**base, attention="flash"))
     flash16_dit = DiT(DiTConfig(**base, attention="flash_bf16"))
+    splash16_dit = DiT(DiTConfig(**base, attention="splash_bf16"))
 
     v = jax.jit(lambda: einsum_dit.init(jax.random.PRNGKey(0), x, mask, t))()
     # perturb all params away from the adaLN-Zero/final-layer zero inits —
@@ -41,7 +42,8 @@ def main():
          for l, k in zip(leaves, keys)],
     )
     ref = jax.jit(lambda v: einsum_dit.apply(v, x, mask, t))(v)
-    for name, m in (("flash", flash_dit), ("flash_bf16", flash16_dit)):
+    for name, m in (("flash", flash_dit), ("flash_bf16", flash16_dit),
+                    ("splash_bf16", splash16_dit)):
         out = jax.jit(lambda v, m=m: m.apply(v, x, mask, t))(v)
         diff = float(jnp.max(jnp.abs(out - ref)))
         scale = float(jnp.max(jnp.abs(ref)))

@@ -162,3 +162,44 @@ def test_train_and_eval_end_to_end(tmp_path, family, monkeypatch):
     assert os.path.isfile(os.path.join(exp_dir, "eval", "000_syn.wav"))
     # the GT wav (not the mel .npy) was copied next to the synthesis
     assert os.path.isfile(os.path.join(exp_dir, "eval", "000_ref.wav"))
+
+
+def test_synthesize_cli_end_to_end(tmp_path, monkeypatch):
+    """The one-shot synthesize.py CLI against a trained tiny GeDEX
+    checkpoint writes a finite 22.05 kHz wav
+    (reference: DEX-TTS/synthesize.py:115-138, GeDEX-TTS/synthesize.py)."""
+    import importlib.util
+
+    root_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "dex_tts_tpu_synthesize", os.path.join(root_dir, "synthesize.py")
+    )
+    syn_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(syn_mod)
+    main_mod = _load_main()
+
+    root = make_corpus(str(tmp_path))
+    cfg = tiny_cfg(root, "gedex")
+    cfg_path = os.path.join(root, "cfg.yaml")
+    cfg.dump(cfg_path)
+    args = types.SimpleNamespace(
+        config=cfg_path, seed=100, n_timesteps=2, resume=False, tag=None,
+        test_checkpoint=None, test_file=None, sample_size=2, n_devices=None,
+    )
+    main_mod.train(args)
+    exp_dir = os.path.join(cfg.checkpoint, os.listdir(cfg.checkpoint)[0])
+
+    out_dir = os.path.join(root, "synth_out")
+    argv = [
+        "synthesize.py", "--config", cfg_path, "--weight_path", exp_dir,
+        "--input_text", "hello there", "--n_timesteps", "2",
+        "--out_dir", out_dir,
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    syn_mod.main()
+    wav_path = os.path.join(out_dir, "sample.wav")
+    assert os.path.isfile(wav_path)
+    from dex_tts_tpu.audio.wav import read_wav
+
+    wav, sr = read_wav(wav_path)
+    assert sr == 22050 and len(wav) > 0 and np.isfinite(wav).all()
