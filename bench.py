@@ -17,7 +17,6 @@ are jit arguments with random values (no constant folding).
 
 import argparse
 import json
-import time
 
 import jax
 import jax.numpy as jnp
@@ -38,16 +37,11 @@ HOP = 256
 N_STEPS = 50
 
 
-def _time(fn, *args, n_iters=3):
-    """Mean wall seconds per call; materializes a scalar per call (on the
-    remote axon tunnel block_until_ready alone does not wait)."""
-    out = fn(*args)
-    assert np.isfinite(float(jnp.sum(out))), "non-finite output"  # + warmup
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = fn(*args)
-        float(jnp.sum(out))
-    return (time.perf_counter() - t0) / n_iters
+from dex_tts_tpu.utils.timing import time_fn
+
+
+def _time(fn, *args):
+    return time_fn(fn, *args, iters=3, assert_finite=True)
 
 
 def main():

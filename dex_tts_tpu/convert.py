@@ -527,10 +527,12 @@ def load_torch_checkpoint(path: str) -> dict:
 
     try:
         ckpt = _load_file(path)
-    except Exception:
+    except Exception as first_exc:
         # maybe an outer plain zip wrapping the checkpoint file: extract the
-        # largest member and load that. torch's own zip serialization would
-        # have loaded above, so reaching here with a zipfile means a wrapper.
+        # largest member and load that. NB a torch zip-format file that
+        # merely failed weights_only deserialization is also a valid
+        # zipfile — detect it by its data.pkl record and re-raise the
+        # original error rather than extracting a raw storage blob.
         import tempfile
         import zipfile
 
@@ -538,11 +540,14 @@ def load_torch_checkpoint(path: str) -> dict:
             raise
         with zipfile.ZipFile(path) as zf:
             members = [n for n in zf.namelist() if not n.endswith("/")]
-            if not members:
+            if not members or any(n.endswith("data.pkl") for n in members):
                 raise
             inner = max(members, key=lambda n: zf.getinfo(n).file_size)
             with tempfile.TemporaryDirectory() as td:
-                ckpt = _load_file(zf.extract(inner, td))
+                try:
+                    ckpt = _load_file(zf.extract(inner, td))
+                except Exception:
+                    raise first_exc  # wrapper theory wrong: original error
     if isinstance(ckpt, dict) and "generator" in ckpt:
         ckpt = ckpt["generator"]
     if isinstance(ckpt, dict) and "state_dict" in ckpt:

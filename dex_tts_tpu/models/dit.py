@@ -215,9 +215,14 @@ class MHSA(nn.Module):
             if self.cfg.attention == "splash_bf16"
             else jnp.float32
         )
-        blk = self.cfg.flash_block_q or 1024
-        t_pad = -(-t // 128) * 128 if t < blk else -(-t // blk) * blk
-        blk = min(blk, t_pad)
+        import math
+
+        blk_q = self.cfg.flash_block_q or 1024
+        blk_kv = self.cfg.flash_block_k or blk_q
+        mult = blk_q * blk_kv // math.gcd(blk_q, blk_kv)
+        t_pad = -(-t // 128) * 128 if t < mult else -(-t // mult) * mult
+        blk_q = min(blk_q, t_pad)
+        blk_kv = min(blk_kv, t_pad)
         pad = t_pad - t
 
         def prep(a):
@@ -230,9 +235,10 @@ class MHSA(nn.Module):
             head_shards=1,
             q_seq_shards=1,
             block_sizes=sa.BlockSizes(
-                block_q=blk, block_kv=blk, block_kv_compute=blk,
-                block_q_dkv=blk, block_kv_dkv=blk, block_kv_dkv_compute=blk,
-                block_q_dq=blk, block_kv_dq=blk,
+                block_q=blk_q, block_kv=blk_kv, block_kv_compute=blk_kv,
+                block_q_dkv=blk_q, block_kv_dkv=blk_kv,
+                block_kv_dkv_compute=blk_kv, block_q_dq=blk_q,
+                block_kv_dq=blk_kv,
             ),
         )
         seg1 = (jnp.arange(t_pad) >= t).astype(jnp.int32)
@@ -274,9 +280,13 @@ class MHSA(nn.Module):
                 best = (key_, bq, tp)
         _, block_q, t_pad = best
         if self.cfg.flash_block_q or self.cfg.flash_block_k:
+            import math
+
             block_q = self.cfg.flash_block_q or block_q
             block_k = self.cfg.flash_block_k or block_k
-            mult = max(block_q, block_k)
+            # overrides may be arbitrary multiples of 128, so pad to the
+            # true lcm (max == lcm only for the power-of-two auto path)
+            mult = block_q * block_k // math.gcd(block_q, block_k)
             t_pad = -(-t // mult) * mult
         pad = t_pad - t
 

@@ -47,8 +47,7 @@ class GroupNorm(nn.Module):
         # fold stats into per-(b, group) scale/shift, cast small, apply big
         a = inv.astype(x.dtype)
         m = (mean * inv).astype(x.dtype)
-        out = xg * a - m * jnp.ones_like(a)
-        out = out.reshape(b, h, w, c)
+        out = (xg * a - m).reshape(b, h, w, c)
         return out * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 

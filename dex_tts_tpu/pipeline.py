@@ -60,7 +60,7 @@ class Synthesizer:
         """mesh: optional jax.sharding.Mesh — serving-time data parallelism.
         Batch inputs are laid out over the mesh's 'dp' axis (weights
         replicated); each bucket graph then runs sharded across chips with
-        no code changes (batch size must divide the dp size)."""
+        no code changes (the dp size must divide the batch size)."""
         if use_ema and ema_params is not None:
             variables = dict(variables)
             variables["params"] = ema_params
@@ -123,6 +123,11 @@ class Synthesizer:
             return inputs
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        dp = self.mesh.shape["dp"]
+        b = next(iter(inputs.values())).shape[0]
+        assert b % dp == 0, (
+            f"batch size {b} must be a multiple of the mesh's dp size {dp}"
+        )
         return {
             k: jax.device_put(
                 v, NamedSharding(self.mesh, P("dp", *([None] * (v.ndim - 1))))

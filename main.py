@@ -148,17 +148,42 @@ def train(args):
     model = build_model(cfg)
     out_size = compute_out_size(cfg)
 
-    n_devices = args.n_devices or len(jax.devices())
-    # dp requires the global batch to divide evenly across devices
-    while n_devices > 1 and int(cfg.train.batch_size) % n_devices:
-        n_devices -= 1
+    if jax.process_count() > 1:
+        # multi-host: every host contributes all its chips; truncation would
+        # leave hosts with unequal device counts and break the equal
+        # per-process batch split
+        n_devices = len(jax.devices())
+        assert int(cfg.train.batch_size) % n_devices == 0, (
+            f"batch_size {cfg.train.batch_size} must divide evenly over "
+            f"{n_devices} devices in multi-host runs"
+        )
+    else:
+        n_devices = args.n_devices or len(jax.devices())
+        # dp requires the global batch to divide evenly across devices
+        while n_devices > 1 and int(cfg.train.batch_size) % n_devices:
+            n_devices -= 1
     mesh = parallel.make_mesh(n_devices) if n_devices > 1 else None
     train_loader_fn, valid_loader_fn, train_ds, _ = make_loaders(
         cfg, args,
         process_count=jax.process_count(),
         process_index=jax.process_index(),
     )
-    init_batch = next(iter(train_loader_fn()))
+    # init shapes only — a prefetch-free batcher avoids spinning up the
+    # background thread and loading extra batches just to take the first
+    init_batch = next(
+        iter(
+            BucketBatcher(
+                train_ds,
+                batch_size=cfg.train.batch_size,
+                x_quantum=cfg.train.get("x_quantum", 32),
+                y_quantum=cfg.train.get("y_quantum", 64),
+                seed=args.seed,
+                process_count=jax.process_count(),
+                process_index=jax.process_index(),
+                prefetch=0,
+            )
+        )
+    )
     state, tx = create_train_state(
         model,
         init_batch,
@@ -185,7 +210,12 @@ def train(args):
         mesh=mesh,
     )
     if args.resume and trainer.ckpt.exists("last"):
-        trainer.state = trainer.ckpt.restore(state, "last")
+        restored = trainer.ckpt.restore(state, "last")
+        # restore targets the unreplicated template; re-replicate over the
+        # mesh or the first sharded step sees incompatible device commitments
+        trainer.state = (
+            parallel.replicate_state(restored, mesh) if mesh else restored
+        )
         print(f"resumed from step {int(trainer.state.step)}")
     trainer.fit(train_loader_fn, valid_loader_fn, epochs=int(cfg.train.epoch))
 

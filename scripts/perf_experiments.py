@@ -10,7 +10,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -22,14 +21,7 @@ import numpy as np
 B, TY = 16, 768
 
 
-def timeit(fn, *args, iters=3):
-    out = fn(*args)
-    float(jnp.sum(out))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-        float(jnp.sum(out))
-    return (time.perf_counter() - t0) / iters
+from dex_tts_tpu.utils.timing import time_fn as timeit
 
 
 def exp_vocoder():
@@ -154,6 +146,8 @@ def main():
         exp_dit2()
     if args.exp in ("splash",):
         exp_splash()
+    if args.exp in ("flashb",):
+        exp_flashb()
     if args.exp in ("unroll", "all"):
         exp_unroll()
 
@@ -395,6 +389,32 @@ def exp_splash():
             print(f"splash {bq}/{bkv}: {timeit(jax.jit(f_splash), qq)*1e3:.2f} ms")
         except Exception as e:
             print(f"splash {bq}/{bkv}: FAILED {type(e).__name__}: {e}")
+
+
+
+
+def exp_flashb():
+    """flash_attention block_b sweep at the DiT shapes."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention,
+    )
+
+    rng = np.random.default_rng(0)
+    t, heads, hd, tp = 3840, 2, 128, 4096
+    q = jnp.asarray(rng.standard_normal((B, heads, tp, hd)), jnp.bfloat16)
+    seg = (jnp.arange(tp) >= t).astype(jnp.int32)[None].repeat(B, 0)
+    for bb in (1, 2, 4):
+        def f(a, bb=bb):
+            return flash_attention(
+                a, a, a, segment_ids=SegmentIds(q=seg, kv=seg),
+                sm_scale=hd**-0.5,
+                block_sizes=BlockSizes(block_q=2048, block_k_major=1024,
+                                       block_k=1024, block_b=bb),
+            )
+        try:
+            print(f"flash block_b={bb}: {timeit(jax.jit(f), q)*1e3:.2f} ms")
+        except Exception as e:
+            print(f"flash block_b={bb}: FAILED {type(e).__name__}")
 
 
 if __name__ == "__main__":

@@ -14,7 +14,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -33,16 +32,11 @@ from dex_tts_tpu.models.unet import (
 DT = "bfloat16"
 
 
+from dex_tts_tpu.utils.timing import time_fn
+
+
 def timeit(fn, *args, iters=5):
-    out = fn(*args)
-    jnp.sum(out if not isinstance(out, tuple) else out[0]).block_until_ready()
-    float(jnp.sum(out if not isinstance(out, tuple) else out[0]))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-        float(jnp.sum(out if not isinstance(out, tuple) else out[0]))
-    per = (time.perf_counter() - t0) / iters
-    return per
+    return time_fn(fn, *args, iters=iters)
 
 
 def main():
