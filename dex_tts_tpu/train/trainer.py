@@ -51,23 +51,26 @@ def make_train_step(
     out_size: int | None = None,
     ema_decay: float = 0.9999,
     mask_ratio: float = 0.0,
+    accum_steps: int = 1,
 ):
     """Build the pure train step: (state, batch) → (state, metrics).
 
     The loss optimized is the raw sum of the per-term losses
     (reference: DEX-TTS/src/train.py:131-137,198 — the reference *displays*
     the mean but steps on the sum).
+
+    accum_steps > 1 splits the batch into that many micro-batches folded
+    sequentially in a lax.scan (gradients averaged, BatchNorm/VQ-EMA stats
+    threaded through), trading wall time for activation memory — one
+    optimizer update either way.
     """
 
-    def train_step(state: TrainState, batch: dict):
-        rng, k_loss, k_drop = jax.random.split(state.rng, 3)
-        inputs = _model_inputs(model, batch)
-
+    def _loss_and_grad(params, batch_stats, vq_stats, inputs, k_loss, k_drop):
         def loss_fn(params):
             variables = {
                 "params": params,
-                "batch_stats": state.batch_stats,
-                "vq_stats": state.vq_stats,
+                "batch_stats": batch_stats,
+                "vq_stats": vq_stats,
             }
             losses, updates = model.apply(
                 variables,
@@ -83,9 +86,64 @@ def make_train_step(
             total = sum(losses.values())
             return total, (losses, updates)
 
-        (total, (losses, updates)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    def train_step(state: TrainState, batch: dict):
+        rng, k_loss, k_drop = jax.random.split(state.rng, 3)
+        inputs = _model_inputs(model, batch)
+
+        if accum_steps == 1:
+            (total, (losses, updates)), grads = _loss_and_grad(
+                state.params, state.batch_stats, state.vq_stats, inputs,
+                k_loss, k_drop,
+            )
+        else:
+            b = next(iter(inputs.values())).shape[0]
+            assert b % accum_steps == 0, (b, accum_steps)
+            micro = {
+                k: v.reshape(accum_steps, b // accum_steps, *v.shape[1:])
+                for k, v in inputs.items()
+            }
+            keys = jax.random.split(k_loss, accum_steps)
+            dkeys = jax.random.split(k_drop, accum_steps)
+
+            def body(carry, xs):
+                grad_sum, loss_sum, bstats, vstats = carry
+                mb, kl, kd = xs
+                (total, (losses, updates)), grads = _loss_and_grad(
+                    state.params, bstats, vstats, mb, kl, kd
+                )
+                grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
+                loss_sum = {k: loss_sum[k] + losses[k] for k in losses}
+                return (
+                    grad_sum,
+                    loss_sum,
+                    updates.get("batch_stats", bstats),
+                    updates.get("vq_stats", vstats),
+                ), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            first_mb = {k: v[0] for k, v in micro.items()}
+            loss_shapes = jax.eval_shape(
+                lambda: _loss_and_grad(
+                    state.params, state.batch_stats, state.vq_stats,
+                    first_mb, keys[0], dkeys[0],
+                )[0][1][0]
+            )
+            zero_losses = {
+                k: jnp.zeros(s.shape, s.dtype) for k, s in loss_shapes.items()
+            }
+            (grads, losses, bstats, vstats), _ = jax.lax.scan(
+                body,
+                (zero_grads, zero_losses, state.batch_stats, state.vq_stats),
+                (micro, keys, dkeys),
+            )
+            inv = 1.0 / accum_steps
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            losses = {k: v * inv for k, v in losses.items()}
+            total = sum(losses.values())
+            updates = {"batch_stats": bstats, "vq_stats": vstats}
+
         param_updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, param_updates)
         ema_params = optax.incremental_update(
@@ -148,6 +206,7 @@ class Trainer:
         out_size: int | None = None,
         ema_decay: float = 0.9999,
         mask_ratio: float = 0.0,
+        accum_steps: int = 1,
         save_epoch: int = 200,
         syn_every: int = 0,
         syn_fn: Callable | None = None,
@@ -169,7 +228,9 @@ class Trainer:
         os.makedirs(exp_dir, exist_ok=True)
         self.ckpt = CheckpointManager(os.path.join(exp_dir, "ckpt"))
 
-        step = make_train_step(model, tx, out_size, ema_decay, mask_ratio)
+        step = make_train_step(
+            model, tx, out_size, ema_decay, mask_ratio, accum_steps
+        )
         vstep = make_valid_step(model, out_size)
 
         # fused step+metric-accumulation variants: metric sums live on

@@ -204,6 +204,7 @@ def train(args):
         out_size=out_size,
         ema_decay=float(cfg.train.get("ema_decay", 0.9999)),
         mask_ratio=float(cfg.train.get("mask_ratio", 0.0)),
+        accum_steps=int(cfg.train.get("accum_steps", 1)),
         save_epoch=int(cfg.train.get("save_epoch", 200)),
         syn_every=int(cfg.train.get("syn_every", 0)),
         syn_fn=syn_fn,

@@ -148,6 +148,8 @@ def main():
         exp_splash()
     if args.exp in ("flashb",):
         exp_flashb()
+    if args.exp in ("bigvgan",):
+        exp_bigvgan()
     if args.exp in ("unroll", "all"):
         exp_unroll()
 
@@ -415,6 +417,50 @@ def exp_flashb():
             print(f"flash block_b={bb}: {timeit(jax.jit(f), q)*1e3:.2f} ms")
         except Exception as e:
             print(f"flash block_b={bb}: FAILED {type(e).__name__}")
+
+
+
+
+def exp_bigvgan():
+    """BigVGAN standalone: lax depthwise sinc convs vs a shift-and-add
+    formulation (the filter is shared across channels, so the conv is k
+    fused scale-adds), f32."""
+    import dex_tts_tpu.models.vocoder.bigvgan as bv
+
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((B, 80, TY)), jnp.float32)
+    gen = bv.BigVGANGenerator(bv.BigVGANConfig(num_mels=80))
+    params = jax.jit(
+        lambda: gen.init(jax.random.PRNGKey(0), mel[:1, :, :16])
+    )()
+
+    run = jax.jit(lambda p, m: gen.apply(p, m))
+    t0 = timeit(run, params, mel)
+    base = np.asarray(run(params, mel))
+    print(f"bigvgan f32 lax-depthwise: {t0*1e3:.1f} ms")
+
+    orig = bv._depthwise_conv
+
+    def shift_add(x, filt, stride):
+        f = np.asarray(filt)
+        k = len(f)
+        tout = (x.shape[1] - k) // stride + 1
+        out = x[:, 0 : stride * tout : stride, :] * jnp.asarray(f[0], x.dtype)
+        for j in range(1, k):
+            out = out + x[:, j : j + stride * tout : stride, :] * jnp.asarray(
+                f[j], x.dtype
+            )
+        return out
+
+    bv._depthwise_conv = shift_add
+    try:
+        run2 = jax.jit(lambda p, m: gen.apply(p, m))
+        t1 = timeit(run2, params, mel)
+        got = np.asarray(run2(params, mel))
+        err = np.abs(got - base).max()
+        print(f"bigvgan f32 shift-add:     {t1*1e3:.1f} ms  max|Δ|={err:.2e}")
+    finally:
+        bv._depthwise_conv = orig
 
 
 if __name__ == "__main__":

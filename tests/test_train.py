@@ -252,3 +252,32 @@ def test_trainer_epoch_metric_accumulation(tmp_path):
     # validation path
     got_val = trainer.run_epoch(iter(batches), train=False)
     assert np.isfinite(got_val["total_loss"])
+
+
+def test_gradient_accumulation(model_state):
+    """accum_steps>1: one optimizer update from sequentially folded
+    micro-batches — runs under jit, finite metrics, stats threaded, and is
+    deterministic for fixed inputs."""
+    model, state, tx = model_state
+    step2 = jax.jit(
+        make_train_step(model, tx, out_size=16, ema_decay=0.99, accum_steps=2)
+    )
+    batch = tiny_batch(4)
+    s_a, m_a = step2(state, batch)
+    s_b, m_b = step2(state, batch)
+    assert np.isfinite(float(m_a["total_loss"]))
+    assert float(m_a["grad_norm"]) > 0
+    assert int(s_a.step) == 1
+    # deterministic given identical state+batch
+    assert float(m_a["total_loss"]) == float(m_b["total_loss"])
+    p_a = jax.tree.leaves(s_a.params)[0]
+    p_b = jax.tree.leaves(s_b.params)[0]
+    np.testing.assert_array_equal(np.asarray(p_a), np.asarray(p_b))
+    # params moved somewhere in the tree (the first leaf may be a
+    # zero-init gate with zero gradient)
+    import optax
+
+    delta = optax.global_norm(
+        jax.tree.map(lambda a, b: a - b, s_a.params, state.params)
+    )
+    assert float(delta) > 0
