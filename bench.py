@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from __graft_entry__ import _full_size_dex, _style_inputs
+from __graft_entry__ import _full_size_dex, _full_size_gedex, _style_inputs
 from dex_tts_tpu.models.edm import SamplerConfig
 from dex_tts_tpu.models.tts import DeXTTS
 from dex_tts_tpu.models.vocoder import (
@@ -48,6 +48,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--vocoder", choices=["hifigan", "bigvgan"],
                    default="hifigan")
+    p.add_argument("--family", choices=["dex", "gedex"], default="dex")
     args = p.parse_args()
 
     b, tx, ty, t_ref = 16, 96, 768, 256
@@ -58,12 +59,15 @@ def main():
         if args.vocoder == "bigvgan"
         else {}
     )
-    model = _full_size_dex(**dit_kw)
+    dex = args.family == "dex"
+    model = _full_size_dex(**dit_kw) if dex else _full_size_gedex(**dit_kw)
+    family_cls = type(model)
     x = jnp.asarray(
         np.random.default_rng(1).integers(1, 148, (b, tx)), jnp.int32
     )
     x_lengths = jnp.full((b,), tx, jnp.int32)
-    style = _style_inputs(b, 80, t_ref)
+    # GeDEX takes no reference-speech conditioning
+    style = _style_inputs(b, 80, t_ref) if dex else {}
 
     if args.vocoder == "bigvgan":
         vocoder = BigVGANGenerator(BigVGANConfig(num_mels=80))
@@ -80,7 +84,7 @@ def main():
             y_max_length=ty,
             sampler=SamplerConfig(num_steps=2),
             **style,
-            method=DeXTTS.synthesize,
+            method=family_cls.synthesize,
         )
         voc_params = vocoder.init(
             jax.random.PRNGKey(3), jnp.zeros((1, 80, 16))
@@ -89,8 +93,11 @@ def main():
 
     variables, voc_params = _init()
 
-    def _synth(variables, key, x, x_lengths, ref, ref_lengths, sty,
-               sty_lengths, lf0, lf0_lengths):
+    def _synth(variables, key, x, x_lengths, *style_args):
+        cond = {}
+        if style_args:
+            (cond["ref"], cond["ref_lengths"], cond["sty"],
+             cond["sty_lengths"], cond["lf0"], cond["lf0_lengths"]) = style_args
         return model.apply(
             variables,
             key,
@@ -100,13 +107,8 @@ def main():
             sampler=SamplerConfig(num_steps=N_STEPS),
             temperature=1.5,
             length_scale=1.0,
-            ref=ref,
-            ref_lengths=ref_lengths,
-            sty=sty,
-            sty_lengths=sty_lengths,
-            lf0=lf0,
-            lf0_lengths=lf0_lengths,
-            method=DeXTTS.synthesize,
+            method=family_cls.synthesize,
+            **cond,
         )
 
     @jax.jit
@@ -118,15 +120,13 @@ def main():
         mel = _synth(variables, key, *args)[1]
         return vocoder.apply({"params": voc_params}, mel)
 
-    inputs = (
-        x,
-        x_lengths,
-        style["ref"],
-        style["ref_lengths"],
-        style["sty"],
-        style["sty_lengths"],
-        style["lf0"],
-        style["lf0_lengths"],
+    inputs = (x, x_lengths) + (
+        (
+            style["ref"], style["ref_lengths"], style["sty"],
+            style["sty_lengths"], style["lf0"], style["lf0_lengths"],
+        )
+        if dex
+        else ()
     )
     key = jax.random.PRNGKey(4)
 
@@ -140,7 +140,7 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    f"end-to-end text-to-WAV synthesis RTF per chip "
+                    f"end-to-end {args.family} text-to-WAV synthesis RTF per chip "
                     f"({N_STEPS}-step EDM + fused {args.vocoder}, batch {b}, "
                     f"{ty} frames/item)"
                 ),
