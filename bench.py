@@ -24,7 +24,6 @@ import numpy as np
 
 from __graft_entry__ import _full_size_dex, _full_size_gedex, _style_inputs
 from dex_tts_tpu.models.edm import SamplerConfig
-from dex_tts_tpu.models.tts import DeXTTS
 from dex_tts_tpu.models.vocoder import (
     BigVGANConfig,
     BigVGANGenerator,
@@ -49,9 +48,10 @@ def main():
     p.add_argument("--vocoder", choices=["hifigan", "bigvgan"],
                    default="hifigan")
     p.add_argument("--family", choices=["dex", "gedex"], default="dex")
+    p.add_argument("--batch", type=int, default=16)
     args = p.parse_args()
 
-    b, tx, ty, t_ref = 16, 96, 768, 256
+    b, tx, ty, t_ref = args.batch, 96, 768, 256
     # BigVGAN fused into the same graph shrinks the scoped-vmem budget XLA
     # leaves for the flash kernel; smaller blocks keep it under 16 MiB
     dit_kw = (
