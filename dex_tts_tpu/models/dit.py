@@ -265,14 +265,17 @@ class MHSA(nn.Module):
             if self.cfg.attention == "flash_bf16"
             else jnp.float32
         )
-        # tuned on v5e at ~5k tokens: (block_q 2048, block_k 1024) ≈ 5x
-        # faster than the einsum path. T pads to a multiple of the larger
-        # block (both are powers of two, so max == lcm); pick the largest
-        # block_q whose padding waste stays small — attention cost scales
-        # with t_pad², so waste dominates block-size micro-effects.
+        # tuned on v5e at ~4-5k tokens: 1024-blocks measure identical to the
+        # old (2048, 1024) config inside the full graph, and 2048 q-blocks
+        # overflow the 16 MiB scoped-vmem budget whenever the surrounding
+        # graph is large (batch 32, or BigVGAN fused) — so 1024 is the
+        # default; override via flash_block_q/k. T pads to a multiple of the
+        # larger block (powers of two, so max == lcm); pick the largest
+        # block_q with the least padding — attention cost scales with
+        # t_pad², so waste dominates block-size micro-effects.
         block_k = 1024 if t >= 1024 else 512
         best = None
-        for bq in (2048, 1024, 512):
+        for bq in (1024, 512):
             mult = max(bq, block_k)
             tp = -(-t // mult) * mult
             key_ = (tp, -bq)  # least padding, then largest block
