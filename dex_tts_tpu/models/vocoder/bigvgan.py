@@ -32,6 +32,12 @@ class BigVGANConfig:
     resblock_dilation_sizes: tuple = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
     activation: str = "snakebeta"
     snake_logscale: bool = True
+    # Compute dtype for the whole conv/activation chain. "bfloat16" keeps
+    # every large tensor in ONE dtype end-to-end (no f32<->bf16 retiling
+    # islands — the v5e killer, see unet.GroupNorm) and is ~4x faster;
+    # params stay f32 (cast in-op). f32 default preserves checkpoint-exact
+    # output for quality-critical offline use.
+    dtype: str = "float32"
 
 
 def kaiser_sinc_filter(cutoff: float, half_width: float, kernel_size: int):
@@ -60,7 +66,7 @@ def kaiser_sinc_filter(cutoff: float, half_width: float, kernel_size: int):
 def _depthwise_conv(x, filt, stride: int):
     """Depthwise correlate (B, T, C) with a shared 1-D filter."""
     c = x.shape[-1]
-    kernel = jnp.tile(jnp.asarray(filt)[:, None, None], (1, 1, c))
+    kernel = jnp.tile(jnp.asarray(filt, x.dtype)[:, None, None], (1, 1, c))
     import jax.lax as lax
 
     return lax.conv_general_dilated(
@@ -108,6 +114,62 @@ def downsample2x_antialias(x, ratio: int = 2):
     return _depthwise_conv(x, filt, ratio)
 
 
+def snake_antialias_polyphase(x, alpha, inv_beta, ratio: int = 2):
+    """Fused 2× anti-aliased snake without ever materializing the 2T
+    zero-stuffed tensor: polyphase decomposition of both Kaiser-sinc
+    filters keeps every tensor at length T.
+
+    Derivation (matches `upsample2x_antialias` → snake →
+    `downsample2x_antialias` to float tolerance; validated in
+    tests/test_bigvgan.py): with k=12-tap filters, edge pad P=5, the
+    upsampled signal splits into even/odd phases
+        up[2s]   = Σ_a f_up[11-2a]·x[clip(s+a-3)]
+        up[2s+1] = Σ_a f_up[10-2a]·x[clip(s+a-2)]
+    each a 6-tap VALID depthwise conv over an edge-padded x. The snake
+    nonlinearity is elementwise, so it applies per phase. The stride-2
+    downsample splits the same way:
+        y[t] = Σ_a g[2a]·s̃1[t+a-3] + Σ_a g[2a+1]·s̃0[t+a-2]
+    where s̃p are the snaked phases with interleave-aware edge padding
+    (left pad = phase-0 first sample, right pad = phase-1 last sample —
+    the clip happens on the *interleaved* index).
+
+    This is the BigVGAN hot path: on v5e the naive form (zero-stuff
+    scatter + 12-tap convs at 2T) was 75% of generator wall-clock; the
+    polyphase form halves the memory traffic of every pass.
+    reference: bigvgan/alias_free_torch/{act,resample}.py.
+    """
+    assert ratio == 2, "polyphase path is specialized to ratio 2"
+    k = 12
+    f_up = kaiser_sinc_filter(0.5 / ratio, 0.6 / ratio, k) * ratio
+    g = kaiser_sinc_filter(0.5 / ratio, 0.6 / ratio, k)
+    # even/odd taps of the flipped upsample filter
+    f0 = f_up[::-1][0::2]  # f_up[11-2a]
+    f1 = f_up[::-1][1::2]  # f_up[10-2a]
+
+    # edge pad x by 3 each side: xe[m] = x[clip(m-3)]
+    xe = jnp.concatenate(
+        [jnp.repeat(x[:, :1], 3, axis=1), x, jnp.repeat(x[:, -1:], 3, axis=1)],
+        axis=1,
+    )
+    t = x.shape[1]
+    p0 = _depthwise_conv(xe[:, : t + 5], f0, 1)  # up[2s]
+    p1 = _depthwise_conv(xe[:, 1 : t + 6], f1, 1)  # up[2s+1]
+
+    s0 = p0 + inv_beta * jnp.sin(p0 * alpha) ** 2
+    s1 = p1 + inv_beta * jnp.sin(p1 * alpha) ** 2
+
+    # interleave-aware edge pad: indices < 0 clip to s[0] (= s0[0]),
+    # indices > 2T-1 clip to s[2T-1] (= s1[T-1])
+    left = jnp.repeat(s0[:, :1], 3, axis=1)
+    right = jnp.repeat(s1[:, -1:], 3, axis=1)
+    s0p = jnp.concatenate([left, s0, right], axis=1)  # s̃0[m], m∈[-3,T+2]
+    s1p = jnp.concatenate([left, s1, right], axis=1)  # s̃1[m], m∈[-3,T+2]
+
+    y = _depthwise_conv(s1p[:, : t + 5], g[0::2], 1)  # Σ g[2a]·s̃1[t+a-3]
+    y = y + _depthwise_conv(s0p[:, 1 : t + 6], g[1::2], 1)  # Σ g[2a+1]·s̃0[t+a-2]
+    return y
+
+
 class SnakeActivation1d(nn.Module):
     """2× anti-aliased snake/snakebeta: up → x + (1/β)·sin²(αx) → down.
     reference: bigvgan/alias_free_torch/act.py + activations.py:9-119."""
@@ -126,10 +188,11 @@ class SnakeActivation1d(nn.Module):
             beta = alpha
         if self.logscale:
             alpha, beta = jnp.exp(alpha), jnp.exp(beta)
-
-        x = upsample2x_antialias(x)
-        x = x + (1.0 / (beta + 1e-9)) * jnp.sin(x * alpha) ** 2
-        return downsample2x_antialias(x)
+        # (C,)-sized params: cast to the activation dtype in-op (tiny tensors,
+        # no retiling cost)
+        alpha = alpha.astype(x.dtype)
+        inv_beta = (1.0 / (beta + 1e-9)).astype(x.dtype)
+        return snake_antialias_polyphase(x, alpha, inv_beta)
 
 
 class AMPBlock1(nn.Module):
@@ -141,9 +204,11 @@ class AMPBlock1(nn.Module):
     dilations: tuple
     variant: str
     logscale: bool
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
+        dtype = jnp.dtype(self.dtype)
         for i, d in enumerate(self.dilations):
             h = SnakeActivation1d(
                 self.channels, self.variant, self.logscale, name=f"act1_{i}"
@@ -154,6 +219,7 @@ class AMPBlock1(nn.Module):
                 (self.kernel_size,),
                 kernel_dilation=(d,),
                 padding=[(pad, pad)],
+                dtype=dtype,
                 name=f"conv1_{i}",
             )(h)
             h = SnakeActivation1d(
@@ -164,6 +230,7 @@ class AMPBlock1(nn.Module):
                 self.channels,
                 (self.kernel_size,),
                 padding=[(pad, pad)],
+                dtype=dtype,
                 name=f"conv2_{i}",
             )(h)
             x = x + h
@@ -179,9 +246,11 @@ class AMPBlock2(nn.Module):
     dilations: tuple
     variant: str
     logscale: bool
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
+        dtype = jnp.dtype(self.dtype)
         for i, d in enumerate(self.dilations[:2]):
             h = SnakeActivation1d(
                 self.channels, self.variant, self.logscale, name=f"act_{i}"
@@ -192,6 +261,7 @@ class AMPBlock2(nn.Module):
                 (self.kernel_size,),
                 kernel_dilation=(d,),
                 padding=[(pad, pad)],
+                dtype=dtype,
                 name=f"conv_{i}",
             )(h)
             x = x + h
@@ -207,9 +277,11 @@ class BigVGANGenerator(nn.Module):
     def __call__(self, mel):
         """mel: (B, num_mels, T) → wav (B, T·Πrates) in [-1, 1]."""
         cfg = self.cfg
-        x = mel.swapaxes(1, 2)
+        dtype = jnp.dtype(cfg.dtype)
+        x = mel.swapaxes(1, 2).astype(dtype)
         x = nn.Conv(
-            cfg.upsample_initial_channel, (7,), padding=[(3, 3)], name="conv_pre"
+            cfg.upsample_initial_channel, (7,), padding=[(3, 3)],
+            dtype=dtype, name="conv_pre",
         )(x)
 
         block_cls = AMPBlock1 if cfg.resblock == "1" else AMPBlock2
@@ -224,6 +296,7 @@ class BigVGANGenerator(nn.Module):
                 strides=(u,),
                 padding=[(p, p)],
                 transpose_kernel=True,
+                dtype=dtype,
                 name=f"up_{i}",
             )(x)
             acc = None
@@ -232,7 +305,7 @@ class BigVGANGenerator(nn.Module):
             ):
                 out = block_cls(
                     ch, rk, tuple(rd), cfg.activation, cfg.snake_logscale,
-                    name=f"resblock_{i}_{j}",
+                    cfg.dtype, name=f"resblock_{i}_{j}",
                 )(x)
                 acc = out if acc is None else acc + out
             x = acc / len(cfg.resblock_kernel_sizes)
@@ -240,5 +313,5 @@ class BigVGANGenerator(nn.Module):
         x = SnakeActivation1d(
             ch, cfg.activation, cfg.snake_logscale, name="act_post"
         )(x)
-        x = nn.Conv(1, (7,), padding=[(3, 3)], name="conv_post")(x)
-        return jnp.tanh(x)[:, :, 0]
+        x = nn.Conv(1, (7,), padding=[(3, 3)], dtype=dtype, name="conv_post")(x)
+        return jnp.tanh(x.astype(jnp.float32))[:, :, 0]
