@@ -20,6 +20,13 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
+from ...ops.snake import (  # noqa: F401  (re-exported for tests/parity)
+    _depthwise_conv,
+    kaiser_sinc_filter,
+    snake_antialias,
+    snake_antialias_polyphase,
+)
+
 
 @dataclass(frozen=True)
 class BigVGANConfig:
@@ -38,45 +45,6 @@ class BigVGANConfig:
     # params stay f32 (cast in-op). f32 default preserves checkpoint-exact
     # output for quality-critical offline use.
     dtype: str = "float32"
-
-
-def kaiser_sinc_filter(cutoff: float, half_width: float, kernel_size: int):
-    """Kaiser-windowed sinc low-pass, sum-normalized.
-    reference: bigvgan/alias_free_torch/filter.py:28-57."""
-    even = kernel_size % 2 == 0
-    half_size = kernel_size // 2
-    delta_f = 4 * half_width
-    a = 2.285 * (half_size - 1) * np.pi * delta_f + 7.95
-    if a > 50.0:
-        beta = 0.1102 * (a - 8.7)
-    elif a >= 21.0:
-        beta = 0.5842 * (a - 21) ** 0.4 + 0.07886 * (a - 21.0)
-    else:
-        beta = 0.0
-    window = np.kaiser(kernel_size, beta)
-    if even:
-        time = np.arange(-half_size, half_size) + 0.5
-    else:
-        time = np.arange(kernel_size) - half_size
-    filt = 2 * cutoff * window * np.sinc(2 * cutoff * time)
-    filt /= filt.sum()
-    return filt.astype(np.float32)
-
-
-def _depthwise_conv(x, filt, stride: int):
-    """Depthwise correlate (B, T, C) with a shared 1-D filter."""
-    c = x.shape[-1]
-    kernel = jnp.tile(jnp.asarray(filt, x.dtype)[:, None, None], (1, 1, c))
-    import jax.lax as lax
-
-    return lax.conv_general_dilated(
-        x,
-        kernel,
-        window_strides=(stride,),
-        padding="VALID",
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        feature_group_count=c,
-    )
 
 
 def upsample2x_antialias(x, ratio: int = 2):
@@ -114,62 +82,6 @@ def downsample2x_antialias(x, ratio: int = 2):
     return _depthwise_conv(x, filt, ratio)
 
 
-def snake_antialias_polyphase(x, alpha, inv_beta, ratio: int = 2):
-    """Fused 2× anti-aliased snake without ever materializing the 2T
-    zero-stuffed tensor: polyphase decomposition of both Kaiser-sinc
-    filters keeps every tensor at length T.
-
-    Derivation (matches `upsample2x_antialias` → snake →
-    `downsample2x_antialias` to float tolerance; validated in
-    tests/test_bigvgan.py): with k=12-tap filters, edge pad P=5, the
-    upsampled signal splits into even/odd phases
-        up[2s]   = Σ_a f_up[11-2a]·x[clip(s+a-3)]
-        up[2s+1] = Σ_a f_up[10-2a]·x[clip(s+a-2)]
-    each a 6-tap VALID depthwise conv over an edge-padded x. The snake
-    nonlinearity is elementwise, so it applies per phase. The stride-2
-    downsample splits the same way:
-        y[t] = Σ_a g[2a]·s̃1[t+a-3] + Σ_a g[2a+1]·s̃0[t+a-2]
-    where s̃p are the snaked phases with interleave-aware edge padding
-    (left pad = phase-0 first sample, right pad = phase-1 last sample —
-    the clip happens on the *interleaved* index).
-
-    This is the BigVGAN hot path: on v5e the naive form (zero-stuff
-    scatter + 12-tap convs at 2T) was 75% of generator wall-clock; the
-    polyphase form halves the memory traffic of every pass.
-    reference: bigvgan/alias_free_torch/{act,resample}.py.
-    """
-    assert ratio == 2, "polyphase path is specialized to ratio 2"
-    k = 12
-    f_up = kaiser_sinc_filter(0.5 / ratio, 0.6 / ratio, k) * ratio
-    g = kaiser_sinc_filter(0.5 / ratio, 0.6 / ratio, k)
-    # even/odd taps of the flipped upsample filter
-    f0 = f_up[::-1][0::2]  # f_up[11-2a]
-    f1 = f_up[::-1][1::2]  # f_up[10-2a]
-
-    # edge pad x by 3 each side: xe[m] = x[clip(m-3)]
-    xe = jnp.concatenate(
-        [jnp.repeat(x[:, :1], 3, axis=1), x, jnp.repeat(x[:, -1:], 3, axis=1)],
-        axis=1,
-    )
-    t = x.shape[1]
-    p0 = _depthwise_conv(xe[:, : t + 5], f0, 1)  # up[2s]
-    p1 = _depthwise_conv(xe[:, 1 : t + 6], f1, 1)  # up[2s+1]
-
-    s0 = p0 + inv_beta * jnp.sin(p0 * alpha) ** 2
-    s1 = p1 + inv_beta * jnp.sin(p1 * alpha) ** 2
-
-    # interleave-aware edge pad: indices < 0 clip to s[0] (= s0[0]),
-    # indices > 2T-1 clip to s[2T-1] (= s1[T-1])
-    left = jnp.repeat(s0[:, :1], 3, axis=1)
-    right = jnp.repeat(s1[:, -1:], 3, axis=1)
-    s0p = jnp.concatenate([left, s0, right], axis=1)  # s̃0[m], m∈[-3,T+2]
-    s1p = jnp.concatenate([left, s1, right], axis=1)  # s̃1[m], m∈[-3,T+2]
-
-    y = _depthwise_conv(s1p[:, : t + 5], g[0::2], 1)  # Σ g[2a]·s̃1[t+a-3]
-    y = y + _depthwise_conv(s0p[:, 1 : t + 6], g[1::2], 1)  # Σ g[2a+1]·s̃0[t+a-2]
-    return y
-
-
 class SnakeActivation1d(nn.Module):
     """2× anti-aliased snake/snakebeta: up → x + (1/β)·sin²(αx) → down.
     reference: bigvgan/alias_free_torch/act.py + activations.py:9-119."""
@@ -192,7 +104,7 @@ class SnakeActivation1d(nn.Module):
         # no retiling cost)
         alpha = alpha.astype(x.dtype)
         inv_beta = (1.0 / (beta + 1e-9)).astype(x.dtype)
-        return snake_antialias_polyphase(x, alpha, inv_beta)
+        return snake_antialias(x, alpha, inv_beta)
 
 
 class AMPBlock1(nn.Module):

@@ -1,0 +1,267 @@
+"""Anti-aliased snake activation (BigVGAN's hot op) — fused pallas kernel.
+
+reference: DEX-TTS/bigvgan/alias_free_torch/{act,resample,filter}.py +
+bigvgan/activations.py:9-119. The reference composes: 2× zero-stuffed
+Kaiser-sinc upsample → x + (1/β)·sin²(αx) → Kaiser-sinc low-pass +
+decimate, materializing a 2T-length tensor and running 12-tap depthwise
+convs over it. On v5e that chain was 75% of BigVGAN generator wall-clock
+(the convs alone are 11%).
+
+Two TPU-native implementations, numerically identical (float tolerance):
+
+- `snake_antialias_polyphase` — pure XLA, the production path. Both
+  12-tap filters split into even/odd polyphase branches so every tensor
+  stays at length T (no zero-stuffing, no scatter). 1.64× the naive
+  form on v5e (BigVGAN 2489 → 1515 ms at batch 16 / 768 frames).
+- `snake_antialias_pallas` — one fused pallas kernel: each grid step
+  reads a (T_tile+12, C_tile) input tile (12-sample halo), computes both
+  upsample phases, the snake nonlinearity, and the polyphase downsample
+  entirely in VMEM, and writes a (T_tile, C_tile) output tile. One HBM
+  read + one write instead of ~6 XLA passes. Overlapping tiles are
+  materialized by a cheap XLA gather beforehand (halo is ~1% of a tile;
+  element-offset BlockSpecs hang the Mosaic compiler on this backend).
+
+Measured on v5e at the stage-4 shape (16, 49152, 96): polyphase-conv
+43.6 ms, pallas 48.6 ms (0.90×, Mosaic spends its time on the 24
+unaligned sublane slices), with a ~5-min Mosaic compile per shape — so
+the pallas kernel is OPT-IN (`use_pallas=True`), kept because it is
+bit-accurate where XLA's default conv precision rounds conv inputs to
+bf16 (measured up to 6e-2 absolute on intermediate activations;
+`jax.default_matmul_precision("highest")` closes that but costs 22%).
+A custom VJP routes gradients through the polyphase path so the op
+stays trainable either way. Other measured dead ends: channel-
+multiplier-2 grouped convs (both phases in one conv) 0.65×; pure
+shifted-slice FMA form 0.91× with 5-min compiles.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def kaiser_sinc_filter(cutoff: float, half_width: float, kernel_size: int):
+    """Kaiser-windowed sinc low-pass, sum-normalized.
+    reference: bigvgan/alias_free_torch/filter.py:28-57."""
+    even = kernel_size % 2 == 0
+    half_size = kernel_size // 2
+    delta_f = 4 * half_width
+    a = 2.285 * (half_size - 1) * np.pi * delta_f + 7.95
+    if a > 50.0:
+        beta = 0.1102 * (a - 8.7)
+    elif a >= 21.0:
+        beta = 0.5842 * (a - 21) ** 0.4 + 0.07886 * (a - 21.0)
+    else:
+        beta = 0.0
+    window = np.kaiser(kernel_size, beta)
+    if even:
+        time = np.arange(-half_size, half_size) + 0.5
+    else:
+        time = np.arange(kernel_size) - half_size
+    filt = 2 * cutoff * window * np.sinc(2 * cutoff * time)
+    filt /= filt.sum()
+    return filt.astype(np.float32)
+
+
+def _phase_filters():
+    """Static polyphase tap lists for ratio-2, k=12 Kaiser filters."""
+    f_up = kaiser_sinc_filter(0.25, 0.3, 12) * 2.0
+    g = kaiser_sinc_filter(0.25, 0.3, 12)
+    fr = f_up[::-1]
+    f0 = [float(v) for v in fr[0::2]]  # up[2s]   taps: f_up[11-2a]
+    f1 = [float(v) for v in fr[1::2]]  # up[2s+1] taps: f_up[10-2a]
+    ge = [float(v) for v in g[0::2]]  # down even taps g[2a]
+    go = [float(v) for v in g[1::2]]  # down odd taps g[2a+1]
+    return f0, f1, ge, go
+
+
+def _depthwise_conv(x, filt, stride: int):
+    """Depthwise correlate (B, T, C) with a shared 1-D filter."""
+    c = x.shape[-1]
+    kernel = jnp.tile(jnp.asarray(filt, x.dtype)[:, None, None], (1, 1, c))
+    import jax.lax as lax
+
+    return lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride,),
+        padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=c,
+    )
+
+
+def snake_antialias_polyphase(x, alpha, inv_beta):
+    """Pure-XLA polyphase form of up(2×) → snake → down(2×).
+
+    Derivation (matches the reference composition to float tolerance;
+    validated in tests/test_bigvgan.py): with k=12-tap filters, edge pad
+    P=5, the upsampled signal splits into even/odd phases
+        up[2s]   = Σ_a f_up[11-2a]·x[clip(s+a-3)]
+        up[2s+1] = Σ_a f_up[10-2a]·x[clip(s+a-2)]
+    each a 6-tap VALID depthwise conv over an edge-padded x. The snake
+    nonlinearity is elementwise, so it applies per phase. The stride-2
+    downsample splits the same way:
+        y[t] = Σ_a g[2a]·s̃1[t+a-3] + Σ_a g[2a+1]·s̃0[t+a-2]
+    where s̃p are the snaked phases with interleave-aware edge padding
+    (left pad = phase-0 first sample, right pad = phase-1 last sample —
+    the clip happens on the *interleaved* index).
+    """
+    f0, f1, ge, go = _phase_filters()
+    t = x.shape[1]
+    xe = jnp.concatenate(
+        [jnp.repeat(x[:, :1], 3, axis=1), x, jnp.repeat(x[:, -1:], 3, axis=1)],
+        axis=1,
+    )
+    p0 = _depthwise_conv(xe[:, : t + 5], f0, 1)  # up[2s]
+    p1 = _depthwise_conv(xe[:, 1 : t + 6], f1, 1)  # up[2s+1]
+
+    s0 = p0 + inv_beta * jnp.sin(p0 * alpha) ** 2
+    s1 = p1 + inv_beta * jnp.sin(p1 * alpha) ** 2
+
+    left = jnp.repeat(s0[:, :1], 3, axis=1)
+    right = jnp.repeat(s1[:, -1:], 3, axis=1)
+    s0p = jnp.concatenate([left, s0, right], axis=1)
+    s1p = jnp.concatenate([left, s1, right], axis=1)
+
+    y = _depthwise_conv(s1p[:, : t + 5], ge, 1)
+    return y + _depthwise_conv(s0p[:, 1 : t + 6], go, 1)
+
+
+def _snake_kernel(x_ref, a_ref, b_ref, o_ref, *, tt: int, t_total: int):
+    """One (batch, C-tile, T-tile) grid step, everything in VMEM.
+
+    x_ref: (1, 1, tt+12, Ct) — input tile with 6-sample halo each side
+           (rows are the edge-padded signal X[m]=x[clip(m-6)], so the
+           upsample's x-side clipping is already baked in).
+    o_ref: (1, tt, Ct).
+    """
+    f0, f1, ge, go = _phase_filters()
+    x = x_ref[0, 0]  # (tt+12, Ct)
+    al = a_ref[:]  # (1, Ct)
+    ib = b_ref[:]
+    n6 = tt + 6
+
+    # upsample phases over local rows u ∈ [0, tt+6), global m = t0-3+u
+    p0 = f0[0] * x[0:n6]
+    p1 = f1[0] * x[1 : 1 + n6]
+    for a in range(1, 6):
+        p0 = p0 + f0[a] * x[a : a + n6]
+        p1 = p1 + f1[a] * x[a + 1 : a + 1 + n6]
+
+    s0 = p0 + ib * jnp.sin(p0 * al) ** 2
+    s1 = p1 + ib * jnp.sin(p1 * al) ** 2
+
+    # interleave-aware edge pad: interleaved indices < 0 clip to s0[m=0],
+    # ≥ 2T-1 clip to s1[m=T-1] (only first/last tiles have such rows)
+    ti = pl.program_id(2)
+    m = jax.lax.broadcasted_iota(jnp.int32, (n6, 1), 0) + ti * tt - 3
+    pad_lo = s0[3:4]  # m = 0 row (first tile only)
+    pad_hi = s1[tt + 2 : tt + 3]  # m = T-1 row (last tile only)
+    s0 = jnp.where(m < 0, pad_lo, jnp.where(m >= t_total, pad_hi, s0))
+    s1 = jnp.where(m < 0, pad_lo, jnp.where(m >= t_total, pad_hi, s1))
+
+    # downsample: y[t] = Σ_a ge[a]·s̃1[t+a-3] + go[a]·s̃0[t+a-2]
+    y = ge[0] * s1[0:tt] + go[0] * s0[1 : 1 + tt]
+    for a in range(1, 6):
+        y = y + ge[a] * s1[a : a + tt] + go[a] * s0[a + 1 : a + 1 + tt]
+    o_ref[0] = y
+
+
+def _pick_tiles(t: int, c: int):
+    """(t_tile, c_tile) or None if the pallas path doesn't apply."""
+    for tt in (2048, 1024, 512, 256):
+        if t % tt == 0:
+            break
+    else:
+        return None
+    ct = 128 if c % 128 == 0 else c
+    if ct > 512:
+        return None
+    return tt, ct
+
+
+def snake_antialias_pallas(x, alpha, inv_beta, *, interpret: bool = False):
+    """Fused anti-aliased snake. x: (B, T, C); alpha/inv_beta: (C,)."""
+    b, t, c = x.shape
+    tiles = _pick_tiles(t, c)
+    assert tiles is not None, f"unsupported shape {(b, t, c)}"
+    tt, ct = tiles
+    n_t, n_c = t // tt, c // ct
+
+    # edge pad by 6 (X[m] = x[clip(m-6)]) then materialize overlapping
+    # tiles with a gather: (B, n_t, tt+12, C). Halo traffic is 12/tt ≈ 1%.
+    xpad = jnp.concatenate(
+        [jnp.repeat(x[:, :1], 6, axis=1), x, jnp.repeat(x[:, -1:], 6, axis=1)],
+        axis=1,
+    )
+    idx = np.arange(n_t)[:, None] * tt + np.arange(tt + 12)[None, :]
+    x_ov = jnp.take(xpad, jnp.asarray(idx), axis=1)  # (B, n_t, tt+12, C)
+
+    a2 = alpha.reshape(1, c).astype(x.dtype)
+    b2 = inv_beta.reshape(1, c).astype(x.dtype)
+
+    kernel = functools.partial(_snake_kernel, tt=tt, t_total=t)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_c, n_t),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, tt + 12, ct),
+                lambda bi, ci, ti: (bi, ti, 0, ci),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, ct), lambda bi, ci, ti: (0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ct), lambda bi, ci, ti: (0, ci),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tt, ct),
+            lambda bi, ci, ti: (bi, ti, ci),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
+        interpret=interpret,
+    )(x_ov, a2, b2)
+
+
+@jax.custom_vjp
+def _snake_pallas_op(x, alpha, inv_beta):
+    return snake_antialias_pallas(x, alpha, inv_beta)
+
+
+def _snake_fwd(x, alpha, inv_beta):
+    return _snake_pallas_op(x, alpha, inv_beta), (x, alpha, inv_beta)
+
+
+def _snake_bwd(res, g):
+    # gradients via the (numerically identical) XLA polyphase path —
+    # vocoder training is off the synthesis hot path
+    x, alpha, inv_beta = res
+    _, vjp = jax.vjp(snake_antialias_polyphase, x, alpha, inv_beta)
+    return vjp(g)
+
+
+_snake_pallas_op.defvjp(_snake_fwd, _snake_bwd)
+
+
+def snake_antialias(x, alpha, inv_beta, use_pallas: bool = False):
+    """2× anti-aliased snake. x: (B, T, C); alpha/inv_beta broadcastable
+    (C,). `use_pallas` opts into the fused kernel (bit-accurate, but
+    slightly slower and minutes of Mosaic compile per shape — see module
+    docstring); requires the TPU backend and supported shapes."""
+    if (
+        use_pallas
+        and jax.default_backend() == "tpu"
+        and _pick_tiles(x.shape[1], x.shape[2])
+    ):
+        alpha = jnp.broadcast_to(jnp.asarray(alpha, x.dtype), (x.shape[-1],))
+        inv_beta = jnp.broadcast_to(jnp.asarray(inv_beta, x.dtype), (x.shape[-1],))
+        return _snake_pallas_op(x, alpha, inv_beta)
+    return snake_antialias_polyphase(x, alpha, inv_beta)

@@ -1,0 +1,90 @@
+"""Anti-aliased snake op: polyphase + pallas-kernel parity.
+
+reference: DEX-TTS/bigvgan/alias_free_torch/{act,resample}.py — the
+composition up(2x) -> snake -> down(2x) is the behavioral spec; the
+polyphase and pallas forms must match it to float tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dex_tts_tpu.models.vocoder.bigvgan import (
+    downsample2x_antialias,
+    upsample2x_antialias,
+)
+from dex_tts_tpu.ops import snake as sk
+
+
+def _inputs(b, t, c, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+    al = jnp.asarray(rng.uniform(0.5, 2.0, (c,)), jnp.float32)
+    ib = jnp.asarray(rng.uniform(0.5, 2.0, (c,)), jnp.float32)
+    return x, al, ib
+
+
+@pytest.mark.parametrize(
+    "b,t,c", [(2, 17, 5), (1, 64, 3), (3, 33, 8), (2, 1, 4), (1, 2, 2)]
+)
+def test_polyphase_matches_composition(b, t, c):
+    x, al, ib = _inputs(b, t, c)
+    up = upsample2x_antialias(x)
+    s = up + ib * jnp.sin(up * al) ** 2
+    ref = downsample2x_antialias(s)
+    got = sk.snake_antialias_polyphase(x, al, ib)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "b,t,c", [(2, 768, 24), (1, 512, 128), (2, 1024, 48), (3, 256, 96)]
+)
+def test_pallas_kernel_matches_polyphase(b, t, c):
+    """Interpret mode exercises the exact kernel code (grid, halo gather,
+    interleave-aware boundary clipping) without TPU hardware."""
+    x, al, ib = _inputs(b, t, c, seed=1)
+    assert sk._pick_tiles(t, c) is not None
+    ref = sk.snake_antialias_polyphase(x, al, ib)
+    got = sk.snake_antialias_pallas(x, al, ib, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_multi_tile_boundaries():
+    # T=768 with tile 256 -> 3 T-tiles: first/last tiles exercise the
+    # interleave-aware edge clip, the middle tile the pure-halo path
+    x, al, ib = _inputs(2, 768, 24, seed=2)
+    tt, _ = sk._pick_tiles(768, 24)
+    assert 768 // tt >= 3
+    ref = sk.snake_antialias_polyphase(x, al, ib)
+    got = sk.snake_antialias_pallas(x, al, ib, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_dispatch_defaults_to_polyphase_off_tpu():
+    x, al, ib = _inputs(1, 512, 8)
+    got = sk.snake_antialias(x, al, ib)
+    ref = sk.snake_antialias_polyphase(x, al, ib)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_custom_vjp_matches_polyphase_grad():
+    x, al, ib = _inputs(1, 256, 8, seed=3)
+
+    def loss_pallas(x, al, ib):
+        return jnp.sum(sk._snake_pallas_op(x, al, ib) ** 2)
+
+    def loss_poly(x, al, ib):
+        return jnp.sum(sk.snake_antialias_polyphase(x, al, ib) ** 2)
+
+    # forward of _snake_pallas_op runs the compiled kernel — use interpret
+    # via monkeypatching to stay CPU-safe
+    orig = sk.snake_antialias_pallas
+    sk.snake_antialias_pallas = lambda x, a, i, **kw: orig(x, a, i, interpret=True)
+    try:
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, al, ib)
+    finally:
+        sk.snake_antialias_pallas = orig
+    gr = jax.grad(loss_poly, argnums=(0, 1, 2))(x, al, ib)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
