@@ -54,9 +54,17 @@ def main():
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--frames", type=int, default=256)
     p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="denoiser compute dtype (decoder.compute_dtype)")
+    p.add_argument("--attention", default=None,
+                   help="DiT attention override (e.g. flash_bf16)")
     args = p.parse_args()
 
     cfg = Config(PRESET)
+    cfg.model.decoder.compute_dtype = args.dtype
+    if args.attention:
+        cfg.model.dit.attention = args.attention
     model = build_model(cfg)
     out_size = fix_len_compatibility(
         int(cfg.train.fix_len * cfg.preprocess.sample_rate

@@ -65,6 +65,9 @@ def build_model(cfg: Config):
         dec_dim_mults=tuple(dec.dim_mults),
         pe_scale=float(dec.get("pe_scale", 1000)),
         loss_type=dec.get("loss_type", "base"),
+        # denoiser hot-path dtype; "bfloat16" is the fast serving/training
+        # mode on TPU (island-free: norms keep f32 stats on tiny tensors)
+        compute_dtype=dec.get("compute_dtype", "float32"),
         dit=build_dit_config(cfg),
     )
     if cfg.get("model_family", "dex") == "dex":
