@@ -52,15 +52,10 @@ def main():
     args = p.parse_args()
 
     b, tx, ty, t_ref = args.batch, 96, 768, 256
-    # BigVGAN fused into the same graph shrinks the scoped-vmem budget XLA
-    # leaves for the flash kernel; smaller blocks keep it under 16 MiB
-    dit_kw = (
-        dict(flash_block_q=1024, flash_block_k=1024)
-        if args.vocoder == "bigvgan"
-        else {}
-    )
+    # flash blocks default to 1024 (padding-aware auto selection), which
+    # already fits the scoped-vmem budget with BigVGAN fused in the graph
     dex = args.family == "dex"
-    model = _full_size_dex(**dit_kw) if dex else _full_size_gedex(**dit_kw)
+    model = _full_size_dex() if dex else _full_size_gedex()
     family_cls = type(model)
     x = jnp.asarray(
         np.random.default_rng(1).integers(1, 148, (b, tx)), jnp.int32

@@ -40,6 +40,10 @@ def build_dit_config(cfg: Config) -> DiTConfig:
         mask_type=d.get("mask_type", "random"),
         use_decoder=d.get("use_decoder", False),
         attention=d.get("attention", "einsum"),
+        # scoped-vmem escape hatch (dit.py MHSA picks padding-aware
+        # defaults when these are unset)
+        flash_block_q=d.get("flash_block_q", None),
+        flash_block_k=d.get("flash_block_k", None),
     )
 
 

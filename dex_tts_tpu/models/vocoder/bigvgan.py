@@ -45,6 +45,11 @@ class BigVGANConfig:
     # params stay f32 (cast in-op). f32 default preserves checkpoint-exact
     # output for quality-critical offline use.
     dtype: str = "float32"
+    # Route the anti-aliased snake through the fused pallas kernel
+    # (bit-exact f32 where XLA default-precision convs round inputs to
+    # bf16, but ~0.9x speed and minutes of Mosaic compile per shape —
+    # see ops/snake.py). TPU only; ignored where shapes don't tile.
+    snake_pallas: bool = False
 
 
 def upsample2x_antialias(x, ratio: int = 2):
@@ -89,6 +94,7 @@ class SnakeActivation1d(nn.Module):
     channels: int
     variant: str = "snakebeta"  # snake | snakebeta
     logscale: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):  # (B, T, C)
@@ -104,7 +110,7 @@ class SnakeActivation1d(nn.Module):
         # no retiling cost)
         alpha = alpha.astype(x.dtype)
         inv_beta = (1.0 / (beta + 1e-9)).astype(x.dtype)
-        return snake_antialias(x, alpha, inv_beta)
+        return snake_antialias(x, alpha, inv_beta, use_pallas=self.use_pallas)
 
 
 class AMPBlock1(nn.Module):
@@ -117,13 +123,15 @@ class AMPBlock1(nn.Module):
     variant: str
     logscale: bool
     dtype: str = "float32"
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
         dtype = jnp.dtype(self.dtype)
         for i, d in enumerate(self.dilations):
             h = SnakeActivation1d(
-                self.channels, self.variant, self.logscale, name=f"act1_{i}"
+                self.channels, self.variant, self.logscale, self.use_pallas,
+                name=f"act1_{i}"
             )(x)
             pad = (self.kernel_size * d - d) // 2
             h = nn.Conv(
@@ -135,7 +143,8 @@ class AMPBlock1(nn.Module):
                 name=f"conv1_{i}",
             )(h)
             h = SnakeActivation1d(
-                self.channels, self.variant, self.logscale, name=f"act2_{i}"
+                self.channels, self.variant, self.logscale, self.use_pallas,
+                name=f"act2_{i}"
             )(h)
             pad = (self.kernel_size - 1) // 2
             h = nn.Conv(
@@ -159,13 +168,15 @@ class AMPBlock2(nn.Module):
     variant: str
     logscale: bool
     dtype: str = "float32"
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
         dtype = jnp.dtype(self.dtype)
         for i, d in enumerate(self.dilations[:2]):
             h = SnakeActivation1d(
-                self.channels, self.variant, self.logscale, name=f"act_{i}"
+                self.channels, self.variant, self.logscale, self.use_pallas,
+                name=f"act_{i}"
             )(x)
             pad = (self.kernel_size * d - d) // 2
             h = nn.Conv(
@@ -217,13 +228,14 @@ class BigVGANGenerator(nn.Module):
             ):
                 out = block_cls(
                     ch, rk, tuple(rd), cfg.activation, cfg.snake_logscale,
-                    cfg.dtype, name=f"resblock_{i}_{j}",
+                    cfg.dtype, cfg.snake_pallas, name=f"resblock_{i}_{j}",
                 )(x)
                 acc = out if acc is None else acc + out
             x = acc / len(cfg.resblock_kernel_sizes)
 
         x = SnakeActivation1d(
-            ch, cfg.activation, cfg.snake_logscale, name="act_post"
+            ch, cfg.activation, cfg.snake_logscale, cfg.snake_pallas,
+            name="act_post",
         )(x)
         x = nn.Conv(1, (7,), padding=[(3, 3)], dtype=dtype, name="conv_post")(x)
         return jnp.tanh(x.astype(jnp.float32))[:, :, 0]

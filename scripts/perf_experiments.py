@@ -426,6 +426,7 @@ def exp_bigvgan():
     formulation (the filter is shared across channels, so the conv is k
     fused scale-adds), f32."""
     import dex_tts_tpu.models.vocoder.bigvgan as bv
+    import dex_tts_tpu.ops.snake as sk
 
     rng = np.random.default_rng(0)
     mel = jnp.asarray(rng.standard_normal((B, 80, TY)), jnp.float32)
@@ -439,7 +440,7 @@ def exp_bigvgan():
     base = np.asarray(run(params, mel))
     print(f"bigvgan f32 lax-depthwise: {t0*1e3:.1f} ms")
 
-    orig = bv._depthwise_conv
+    orig = sk._depthwise_conv
 
     def shift_add(x, filt, stride):
         f = np.asarray(filt)
@@ -452,7 +453,9 @@ def exp_bigvgan():
             )
         return out
 
-    bv._depthwise_conv = shift_add
+    # the generator reaches the depthwise convs via ops.snake (the
+    # snake op was extracted there), so patch that module's global
+    sk._depthwise_conv = shift_add
     try:
         run2 = jax.jit(lambda p, m: gen.apply(p, m))
         t1 = timeit(run2, params, mel)
@@ -460,7 +463,7 @@ def exp_bigvgan():
         err = np.abs(got - base).max()
         print(f"bigvgan f32 shift-add:     {t1*1e3:.1f} ms  max|Δ|={err:.2e}")
     finally:
-        bv._depthwise_conv = orig
+        sk._depthwise_conv = orig
 
 
 if __name__ == "__main__":
