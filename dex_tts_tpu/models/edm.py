@@ -226,8 +226,9 @@ def build_schedule(cfg: SamplerConfig) -> dict[str, np.ndarray]:
                 - 1
             )
         u_filtered = u[(u >= sigma_min) & (u <= sigma_max)]
-        # torch .round() rounds half away from zero (values are positive)
-        idx = np.floor((len(u_filtered) - 1) / (n - 1) * i + 0.5).astype(np.int64)
+        # torch .round() rounds half to even, as does np.round
+        # (reference: edm.py:149)
+        idx = np.round((len(u_filtered) - 1) / (n - 1) * i).astype(np.int64)
         sigma_steps = u_filtered[idx]
     else:
         sigma_steps = (
@@ -324,16 +325,25 @@ def ablation_sampler(
         x_euler = x_hat + per_step["h"] * d_cur
 
         if heun:
-            x_prime = x_hat + per_step["alpha_h"] * d_cur
-            den2 = denoised_at(
-                x_prime * per_step["inv_s_prime"], per_step["sigma_prime"]
+            # the reference skips the 2nd-order correction on the final
+            # step entirely (edm.py:202) — lax.cond keeps that an actual
+            # skip (one denoiser eval saved) rather than a discarded eval
+            def _heun_update():
+                x_prime = x_hat + per_step["alpha_h"] * d_cur
+                den2 = denoised_at(
+                    x_prime * per_step["inv_s_prime"], per_step["sigma_prime"]
+                )
+                d_prime = (
+                    per_step["a_prime"] * x_prime - per_step["b_prime"] * den2
+                )
+                return x_hat + per_step["h"] * (
+                    (1 - 1 / (2 * cfg.alpha)) * d_cur
+                    + (1 / (2 * cfg.alpha)) * d_prime
+                )
+
+            x_new = jax.lax.cond(
+                per_step["last_step"], lambda: x_euler, _heun_update
             )
-            d_prime = per_step["a_prime"] * x_prime - per_step["b_prime"] * den2
-            x_heun = x_hat + per_step["h"] * (
-                (1 - 1 / (2 * cfg.alpha)) * d_cur
-                + (1 / (2 * cfg.alpha)) * d_prime
-            )
-            x_new = jnp.where(per_step["last_step"], x_euler, x_heun)
         else:
             x_new = x_euler
         return (x_new, key), None

@@ -51,7 +51,7 @@ class Synthesizer:
         cmu_path: str | None = None,
         add_blank: bool = True,
         sampler: SamplerConfig | None = None,
-        x_quantum: int = 16,
+        x_quantum: int = 32,
         y_quantum: int = 64,
         use_ema: bool = False,
         ema_params=None,
@@ -146,24 +146,29 @@ class Synthesizer:
         )
 
     def _get_synth(self, x_len: int, y_len: int, with_vocoder: bool):
-        key = (x_len, y_len, with_vocoder)
+        # sampler settings are compile-time constants of the scan graph, so
+        # they join the cache key (alternating n_timesteps=50/10 then reuses
+        # two cached graphs instead of recompiling)
+        key = (x_len, y_len, with_vocoder, self.sampler)
         if key in self._synth_cache:
             return self._synth_cache[key]
 
         method = type(self.model).synthesize
+        sampler = self.sampler
 
-        @partial(
-            jax.jit,
-            static_argnames=("temperature", "length_scale"),
-        )
-        def run(variables, rng, inputs, temperature=1.5, length_scale=1.0):
+        @jax.jit
+        def run(variables, voc_params, rng, inputs, temperature, length_scale):
+            # temperature/length_scale are traced scalars (they only enter
+            # noise scaling and duration arithmetic) — sweeping them reuses
+            # the compiled graph; voc_params is an argument, not a closure
+            # constant, so swapped vocoder weights take effect immediately
             enc, dec, attn, y_lengths = self.model.apply(
                 variables,
                 rng,
                 inputs["x"],
                 inputs["x_lengths"],
                 y_max_length=y_len,
-                sampler=self.sampler,
+                sampler=sampler,
                 temperature=temperature,
                 length_scale=length_scale,
                 method=method,
@@ -175,9 +180,7 @@ class Synthesizer:
             )
             out = {"mel": dec, "enc": enc, "y_lengths": y_lengths}
             if with_vocoder:
-                out["wav"] = self.vocoder.apply(
-                    {"params": self.vocoder_params}, dec
-                )
+                out["wav"] = self.vocoder.apply({"params": voc_params}, dec)
             return out
 
         self._synth_cache[key] = run
@@ -212,10 +215,11 @@ class Synthesizer:
         if key is None:
             key = jax.random.PRNGKey(0)
         if n_timesteps is not None and n_timesteps != self.sampler.num_steps:
+            # the sampler is part of the graph-cache key — graphs compiled
+            # for other step counts stay cached
             self.sampler = SamplerConfig(
                 **{**self.sampler.__dict__, "num_steps": n_timesteps}
             )
-            self._synth_cache.clear()
 
         seqs = [self.prepare_text(t) for t in texts]
         b = len(seqs)
@@ -238,11 +242,20 @@ class Synthesizer:
                 # features (reference: DEX-TTS/src/evaluation.py uses the
                 # dataset's own ref/sty/lf0 for objective eval)
                 mels, lf0s = zip(*ref_feats)
-            t_max = _bucket(max(m.shape[1] for m in mels), self.y_quantum, 4)
-            ref = np.zeros((b, mels[0].shape[0], t_max), np.float32)
+            # mel and lf0 can disagree in length for pre-extracted features;
+            # truncate each pair to the common length (as prepare_reference
+            # does) so lf0_lengths never counts zero-padded frames
+            pairs = [
+                (m[:, : min(m.shape[1], len(l))], l[: min(m.shape[1], len(l))])
+                for m, l in zip(mels, lf0s)
+            ]
+            t_max = _bucket(
+                max(m.shape[1] for m, _ in pairs), self.y_quantum, 4
+            )
+            ref = np.zeros((b, pairs[0][0].shape[0], t_max), np.float32)
             lf0 = np.zeros((b, t_max), np.float32)
             lens = np.zeros((b,), np.int32)
-            for i, (m, l) in enumerate(zip(mels, lf0s)):
+            for i, (m, l) in enumerate(pairs):
                 ref[i, :, : m.shape[1]] = m
                 lf0[i, : len(l)] = l
                 lens[i] = m.shape[1]
@@ -266,9 +279,10 @@ class Synthesizer:
         # phase 2: full synthesis at the bucketed length
         with_voc = vocode and self.vocoder is not None
         run = self._get_synth(x_max, y_len, with_voc)
+        voc_params = self.vocoder_params if with_voc else {}
         out = run(
-            self.variables, key, inputs,
-            temperature=temperature, length_scale=length_scale,
+            self.variables, voc_params, key, inputs,
+            jnp.float32(temperature), jnp.float32(length_scale),
         )
 
         mels = np.asarray(out["mel"])
