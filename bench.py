@@ -49,6 +49,9 @@ def main():
                    default="hifigan")
     p.add_argument("--family", choices=["dex", "gedex"], default="dex")
     p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of one timed e2e "
+                        "iteration into DIR (TensorBoard/Perfetto)")
     args = p.parse_args()
 
     b, tx, ty, t_ref = args.batch, 96, 768, 256
@@ -128,6 +131,11 @@ def main():
     audio_seconds = b * ty * HOP / SAMPLE_RATE
     mel_s = _time(text_to_mel, variables, key, *inputs)
     wav_s = _time(text_to_wav, variables, voc_params, key, *inputs)
+    if args.profile:
+        from dex_tts_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            jnp.sum(text_to_wav(variables, voc_params, key, *inputs)).block_until_ready()
     rtf_mel = mel_s / audio_seconds
     rtf_e2e = wav_s / audio_seconds
 
