@@ -69,6 +69,91 @@ def test_tts_bucket_reuse(synthesizer):
     assert len(synthesizer._synth_cache) == n_graphs
 
 
+def test_scalar_knobs_do_not_retrace(synthesizer):
+    """temperature/length_scale are traced arguments: sweeping them must
+    reuse the compiled bucket graph (they were static once — every new
+    value recompiled the fused sampler graph)."""
+    synthesizer.tts(["knob sweep"], key=jax.random.PRNGKey(1),
+                    temperature=1.5)
+    run = next(iter(synthesizer._synth_cache.values()))
+    traces0 = run._cache_size()
+    synthesizer.tts(["knob sweep"], key=jax.random.PRNGKey(1),
+                    temperature=1.3, length_scale=1.1)
+    assert run._cache_size() == traces0
+
+
+def test_n_timesteps_cache_keyed_not_cleared(synthesizer):
+    """Alternating step counts keeps both compiled graphs cached."""
+    synthesizer.tts(["step count a"], key=jax.random.PRNGKey(1),
+                    n_timesteps=2)
+    synthesizer.tts(["step count a"], key=jax.random.PRNGKey(1),
+                    n_timesteps=3)
+    keys = set(synthesizer._synth_cache)
+    assert {k[3].num_steps for k in keys} >= {2, 3}
+    n = len(keys)
+    synthesizer.tts(["step count a"], key=jax.random.PRNGKey(1),
+                    n_timesteps=2)
+    assert len(synthesizer._synth_cache) == n
+
+
+def test_vocoder_weight_swap_takes_effect(synthesizer):
+    """Vocoder params are a jit argument — swapping them must change the
+    output of already-compiled bucket graphs."""
+    out1 = synthesizer.tts(["swap weights"], key=jax.random.PRNGKey(5))[0]
+    orig = synthesizer.vocoder_params
+    try:
+        synthesizer.vocoder_params = jax.tree.map(
+            lambda p: p * 0.0, orig
+        )
+        out2 = synthesizer.tts(["swap weights"], key=jax.random.PRNGKey(5))[0]
+    finally:
+        synthesizer.vocoder_params = orig
+    np.testing.assert_array_equal(out1["mel"], out2["mel"])
+    assert np.abs(out2["wav"]).max() < np.abs(out1["wav"]).max()
+
+
+def test_ref_feats_mel_lf0_length_mismatch():
+    """Pre-extracted (mel, lf0) pairs with unequal lengths are truncated
+    to the common length instead of crashing / counting padded frames."""
+    from dex_tts_tpu.models.tts import DeXTTS
+
+    model = DeXTTS(
+        n_vocab=149, n_feats=16, enc_channels=24, enc_filter_channels=32,
+        enc_filter_channels_dp=16, enc_heads=2, enc_layers=1, dec_dim=8,
+        dec_dim_mults=(1, 2), dit=TINY_DIT,
+        tv_c_h=12, tv_c_out=24, tv_c_out_g=24, tv_layers=1, tv_n_emb=8,
+        lf0_c_h=12, lf0_c_out=24, lf0_c_out_g=24, lf0_layers=1,
+        tiv_c_h=16, tiv_c_out=8, tiv_layers=1,
+    )
+    import jax.numpy as jnp
+
+    x = jnp.ones((1, 8), jnp.int32)
+    xl = jnp.full((1,), 8, jnp.int32)
+    y = jnp.zeros((1, 16, 16))
+    yl = jnp.full((1,), 16, jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jax.random.PRNGKey(2), x, xl, y, yl,
+        ref=y, ref_lengths=yl, sty=y, sty_lengths=yl,
+        lf0=jnp.zeros((1, 16)), lf0_lengths=yl,
+        train=False, method=DeXTTS.compute_loss,
+    )
+    synth = Synthesizer(
+        model, variables, sampler=SamplerConfig(num_steps=2),
+        x_quantum=8, y_quantum=16,
+    )
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((16, 20)).astype(np.float32)
+    lf0_long = rng.standard_normal((33,)).astype(np.float32)  # > mel T
+    out = synth.tts(["mismatch"], key=jax.random.PRNGKey(0),
+                    ref_feats=[(mel, lf0_long)], vocode=False)
+    assert out[0]["mel"].shape[0] == 16
+    lf0_short = rng.standard_normal((7,)).astype(np.float32)  # < mel T
+    out = synth.tts(["mismatch"], key=jax.random.PRNGKey(0),
+                    ref_feats=[(mel, lf0_short)], vocode=False)
+    assert np.isfinite(out[0]["mel"]).all()
+
+
 def test_wav_roundtrip(tmp_path):
     sr = 22050
     t = np.arange(sr) / sr
