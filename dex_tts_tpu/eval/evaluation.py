@@ -90,6 +90,11 @@ def load_vocoder(cfg):
     arch.setdefault("num_mels", n_mels)
 
     if kind == "bigvgan":
+        # optional TPU knobs (see ops/snake.py, BigVGANConfig)
+        if cfg.get("vocoder_dtype"):
+            arch["dtype"] = str(cfg.vocoder_dtype)
+        if cfg.get("vocoder_snake_pallas"):
+            arch["snake_pallas"] = bool(cfg.vocoder_snake_pallas)
         voc = BigVGANGenerator(BigVGANConfig(**arch))
         candidates = [os.path.join(path, "g_05000000"), path] if path else []
         convert = bigvgan_torch_to_flax
