@@ -40,6 +40,12 @@ def build_dit_config(cfg: Config) -> DiTConfig:
         mask_type=d.get("mask_type", "random"),
         use_decoder=d.get("use_decoder", False),
         attention=d.get("attention", "einsum"),
+        auto_flash_min_tokens=d.get(
+            "auto_flash_min_tokens", DiTConfig.auto_flash_min_tokens
+        ),
+        auto_flash_min_tokens_train=d.get(
+            "auto_flash_min_tokens_train", DiTConfig.auto_flash_min_tokens_train
+        ),
         # scoped-vmem escape hatch (dit.py MHSA picks padding-aware
         # defaults when these are unset)
         flash_block_q=d.get("flash_block_q", None),

@@ -58,8 +58,17 @@ class DiTConfig:
     # "einsum" (any backend) | "flash" | "flash_bf16" (TPU pallas kernel:
     # avoids materializing the T² score matrix in HBM; bf16 runs the
     # matmuls at MXU-native precision with f32 softmax statistics —
-    # validated to ~2e-5 of the einsum path)
+    # validated to ~2e-5 of the einsum path) | "auto" (pick per static
+    # token count AND regime — see resolve_attention_mode)
     attention: str = "einsum"
+    # v5e crossovers for "auto". Eval (forward-only): flash_bf16 measured
+    # faster from 860 tokens up and tied at 512, so flip at 768. Train
+    # (forward+backward): einsum measured 33% faster at 860 tokens
+    # (5.59 vs 4.21 steps/s full-step) — the flash backward blocks lose
+    # at short segments — but flash's ≥2.8x forward lead at ≥2560 tokens
+    # dominates any backward overhead, so flip at 2048.
+    auto_flash_min_tokens: int = 768
+    auto_flash_min_tokens_train: int = 2048
     # flash block-size overrides (None = padding-aware auto selection).
     # Use smaller blocks (e.g. 1024/1024) when the surrounding graph pushes
     # the kernel over the 16 MiB scoped-vmem limit (seen with the BigVGAN
@@ -166,6 +175,28 @@ class ConvTokenPosEmbed(nn.Module):
         return jnp.mean(pos, axis=-1, keepdims=True)  # (B, N, 1)
 
 
+def resolve_attention_mode(
+    cfg: DiTConfig, n_tokens: int, train: bool = False
+) -> str:
+    """Static (trace-time) attention-kernel choice for ``attention="auto"``.
+
+    Training's short crops (~172 frames → ~860 tokens) run einsum — the
+    tiny T² softmax plus cheap backward beats the flash kernel's block
+    overhead (measured 5.59 vs 4.21 steps/s at the ESD config); long
+    inference buckets (768 frames → ~3840 tokens) flip to the pallas
+    flash_bf16 kernel (measured RTF 0.0215 → 0.0183). The crossover sits
+    higher when the program is differentiated, hence the per-regime
+    thresholds. n_tokens is a static shape under jit, so this is a
+    per-bucket compile-time choice, not a runtime branch.
+    """
+    if cfg.attention != "auto":
+        return cfg.attention
+    threshold = (
+        cfg.auto_flash_min_tokens_train if train else cfg.auto_flash_min_tokens
+    )
+    return "flash_bf16" if n_tokens >= threshold else "einsum"
+
+
 class MHSA(nn.Module):
     """timm-style multi-head self-attention (qkv bias, scaled dot product,
     output projection). Manual einsums: bf16 matmuls on the MXU, f32
@@ -174,7 +205,7 @@ class MHSA(nn.Module):
     cfg: DiTConfig
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         cfg = self.cfg
         b, t, d = x.shape
         h = cfg.num_heads
@@ -185,11 +216,12 @@ class MHSA(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
         on_tpu = jax.default_backend() == "tpu"
+        mode = resolve_attention_mode(cfg, t, train)
         # pallas TPU kernels; einsum fallback elsewhere (e.g. CPU tests)
-        if cfg.attention.startswith("splash") and on_tpu:
-            out = self._splash(q, k, v, hd)
-        elif cfg.attention.startswith("flash") and on_tpu:
-            out = self._flash(q, k, v, hd)
+        if mode.startswith("splash") and on_tpu:
+            out = self._splash(q, k, v, hd, mode)
+        elif mode.startswith("flash") and on_tpu:
+            out = self._flash(q, k, v, hd, mode)
         else:
             scores = jnp.einsum(
                 "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32
@@ -202,7 +234,7 @@ class MHSA(nn.Module):
             out.reshape(b, t, d)
         )
 
-    def _splash(self, q, k, v, hd):
+    def _splash(self, q, k, v, hd, mode):
         """Splash-attention pallas kernel (newer than flash_attention;
         measured ~2.3x faster at the DiT shapes on v5e with 1024/1024
         blocks — larger blocks exceed the 16 MiB scoped-vmem limit).
@@ -210,11 +242,7 @@ class MHSA(nn.Module):
         from jax.experimental.pallas.ops.tpu import splash_attention as sa
 
         b, t, heads = q.shape[0], q.shape[1], q.shape[2]
-        dt = (
-            jnp.bfloat16
-            if self.cfg.attention == "splash_bf16"
-            else jnp.float32
-        )
+        dt = jnp.bfloat16 if mode == "splash_bf16" else jnp.float32
         import math
 
         blk_q = self.cfg.flash_block_q or 1024
@@ -249,7 +277,7 @@ class MHSA(nn.Module):
         )(prep(q), prep(k), prep(v))
         return out[:, :, :t, :].transpose(0, 2, 1, 3).astype(q.dtype)
 
-    def _flash(self, q, k, v, hd):
+    def _flash(self, q, k, v, hd, mode):
         """Pallas TPU flash attention; pads T to a block multiple and masks
         the padding via segment ids (exact — padded keys get zero weight)."""
         from jax.experimental.pallas.ops.tpu.flash_attention import (
@@ -260,11 +288,7 @@ class MHSA(nn.Module):
 
         b, t = q.shape[0], q.shape[1]
         to_bhtd = lambda a: a.transpose(0, 2, 1, 3)
-        dt = (
-            jnp.bfloat16
-            if self.cfg.attention == "flash_bf16"
-            else jnp.float32
-        )
+        dt = jnp.bfloat16 if mode == "flash_bf16" else jnp.float32
         # tuned on v5e at ~4-5k tokens: 1024-blocks measure identical to the
         # old (2048, 1024) config inside the full graph, and 2048 q-blocks
         # overflow the 16 MiB scoped-vmem budget whenever the surrounding
@@ -330,7 +354,7 @@ class DiTBlock(nn.Module):
     cfg: DiTConfig
 
     @nn.compact
-    def __call__(self, x, c):
+    def __call__(self, x, c, train: bool = False):
         cfg = self.cfg
         dt = cfg.compute_dtype
         mod = nn.Dense(
@@ -345,7 +369,7 @@ class DiTBlock(nn.Module):
 
         h = layer_norm_f32_stats(x)
         h = modulate(h, shift_msa, scale_msa)
-        attn = MHSA(cfg, name="attn")(h)
+        attn = MHSA(cfg, name="attn")(h, train)
         x = x + gate_msa[:, None, :].astype(x.dtype) * attn.astype(x.dtype)
 
         h = layer_norm_f32_stats(x)
@@ -434,7 +458,7 @@ class DiT(nn.Module):
             tokens = jnp.take_along_axis(tokens, ids_keep[:, :, None], axis=1)
 
         for i in range(cfg.depth):
-            tokens = DiTBlock(cfg, name=f"block_{i}")(tokens, t_emb)
+            tokens = DiTBlock(cfg, name=f"block_{i}")(tokens, t_emb, train)
 
         if use_mask:
             # re-insert zero tokens at masked positions (reference: dit.py:200-206)
@@ -449,7 +473,9 @@ class DiT(nn.Module):
             pos = ConvTokenPosEmbed(cfg, name="decoder_pos_conv")(tokens)
             tokens = tokens + pos.astype(tokens.dtype)
             for i in range(cfg.depth):
-                tokens = DiTBlock(cfg, name=f"decoder_block_{i}")(tokens, t_emb)
+                tokens = DiTBlock(cfg, name=f"decoder_block_{i}")(
+                    tokens, t_emb, train
+                )
 
         out = FinalLayer(cfg, name="final_layer")(tokens, t_emb)  # (B,N,s²C)
 

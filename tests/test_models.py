@@ -233,3 +233,39 @@ def test_dex_loss_and_synthesize():
     )
     assert dec.shape == (2, 16, 64)
     assert np.isfinite(np.asarray(dec)).all()
+
+
+def test_attention_auto_mode_resolution():
+    """attention="auto" resolves per static token count: einsum below the
+    threshold (training's short crops), flash_bf16 at/above (long
+    inference buckets). Pinned modes pass through untouched."""
+    from dex_tts_tpu.models.dit import resolve_attention_mode
+
+    auto = DiTConfig(attention="auto")
+    # eval crossover (768): flash measured faster from 860 tokens up
+    assert resolve_attention_mode(auto, 512) == "einsum"
+    assert resolve_attention_mode(auto, 860) == "flash_bf16"
+    assert resolve_attention_mode(auto, 3840) == "flash_bf16"
+    # train crossover sits higher (2048): einsum wins at training's ~860
+    # tokens (short segment crops) because the flash backward blocks lose
+    assert resolve_attention_mode(auto, 860, train=True) == "einsum"
+    assert resolve_attention_mode(auto, 2048, train=True) == "flash_bf16"
+    pinned = DiTConfig(attention="splash_bf16")
+    assert resolve_attention_mode(pinned, 16) == "splash_bf16"
+    assert resolve_attention_mode(pinned, 8192, train=True) == "splash_bf16"
+
+
+def test_attention_auto_matches_einsum_below_threshold():
+    """Below the token threshold auto takes the einsum path bit-exactly
+    (and off-TPU the fallback is einsum regardless of resolved mode)."""
+    from dex_tts_tpu.models.dit import MHSA
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 24, 32)), jnp.float32
+    )
+    out = {}
+    for mode in ("einsum", "auto"):
+        m = MHSA(DiTConfig(hidden_size=32, num_heads=2, attention=mode))
+        v = m.init(jax.random.PRNGKey(0), x)
+        out[mode] = np.asarray(m.apply(v, x))
+    np.testing.assert_array_equal(out["einsum"], out["auto"])
