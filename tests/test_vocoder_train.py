@@ -1,0 +1,164 @@
+"""Vocoder GAN training loop: step mechanics, convergence signal,
+checkpoint roundtrip, DP equivalence, and the wav-segment data layer.
+Reference counterpart: none — DEX-TTS ships the discriminators/losses
+untrained (bigvgan/models.py:221-400); upstream HiFi-GAN's train.py is
+the behavioral model (AdamW(0.8,0.99), LSGAN+FM+45·L1-mel)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dex_tts_tpu.audio.stft import MelSpectrogram
+from dex_tts_tpu.audio.wav import write_wav
+from dex_tts_tpu.data.vocoder_dataset import (
+    WavSegmentDataset,
+    wav_paths_from_source,
+)
+from dex_tts_tpu.models.vocoder import HiFiGANConfig, HiFiGANGenerator
+from dex_tts_tpu.models.vocoder.discriminators import DiscriminatorConfig
+from dex_tts_tpu.train.vocoder import (
+    create_vocoder_train_state,
+    make_vocoder_optimizer,
+    make_vocoder_train_step,
+)
+
+SEGMENT = 256
+HOP = 16
+
+TINY_GEN = HiFiGANConfig(
+    num_mels=8,
+    upsample_rates=(4, 4),
+    upsample_kernel_sizes=(8, 8),
+    upsample_initial_channel=16,
+    resblock_kernel_sizes=(3,),
+    resblock_dilation_sizes=((1, 3),),
+)
+TINY_DISC = DiscriminatorConfig(
+    mpd_periods=(2, 3),
+    mrd_resolutions=((64, 16, 32),),
+    channel_mult=0.05,
+)
+
+
+def tiny_mel(fmax=8000.0):
+    return MelSpectrogram(
+        n_fft=64, hop_length=HOP, win_length=64, n_mels=8, fmax=fmax
+    )
+
+
+def sine_batch(b=4, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(SEGMENT) / 22050.0
+    f = rng.uniform(200, 800, size=(b, 1))
+    wav = 0.5 * np.sin(2 * np.pi * f * t[None, :])
+    return {"wav": wav.astype(np.float32)}
+
+
+@pytest.fixture(scope="module")
+def setup():
+    gen = HiFiGANGenerator(TINY_GEN)
+    mel = tiny_mel()
+    tx = make_vocoder_optimizer(lr=2e-3, steps_per_epoch=50)
+    state, gen_tx, disc_tx, (mpd, mrd) = create_vocoder_train_state(
+        gen, jnp.asarray(sine_batch()["wav"]), mel, TINY_DISC,
+        gen_tx=tx, disc_tx=make_vocoder_optimizer(lr=2e-3),
+    )
+    step = make_vocoder_train_step(gen, mpd, mrd, gen_tx, disc_tx, mel)
+    return gen, state, jax.jit(step)
+
+
+def test_vocoder_step_updates_and_converges(setup):
+    gen, state, step = setup
+    first = None
+    for i in range(8):
+        state, metrics = step(state, sine_batch(seed=i))
+        m = {k: float(v) for k, v in metrics.items()}
+        assert all(np.isfinite(v) for v in m.values()), m
+        if first is None:
+            first = m
+    assert int(state.step) == 8
+    # the λ=45 mel term dominates the generator objective; 8 steps at
+    # lr 2e-3 must move it down on this toy distribution
+    assert m["loss_mel"] < first["loss_mel"]
+    # both players actually updated
+    assert m["loss_disc"] != first["loss_disc"]
+
+
+def test_vocoder_generator_output_shape(setup):
+    gen, state, _ = setup
+    mel = tiny_mel()
+    wav = jnp.asarray(sine_batch()["wav"])
+    mel_in = mel(wav)[0][:, :, : SEGMENT // HOP]
+    fake = gen.apply({"params": state.gen_params}, mel_in)
+    assert fake.shape == (4, SEGMENT)
+    assert float(jnp.max(jnp.abs(fake))) <= 1.0
+
+
+def test_vocoder_checkpoint_roundtrip(setup, tmp_path):
+    from dex_tts_tpu.train.checkpoint import CheckpointManager
+
+    _, state, step = setup
+    state, _ = step(state, sine_batch())
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    ckpt.save(state, "last")
+    restored = ckpt.restore(state, "last")
+    assert int(restored.step) == int(state.step)
+    a = jax.tree.leaves(state.gen_params)[0]
+    b = jax.tree.leaves(restored.gen_params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_vocoder_dp_step_matches_single_device(setup):
+    """Same batch through the dp-sharded step == single-device step."""
+    from dex_tts_tpu.parallel import make_mesh, make_parallel_train_step
+    from dex_tts_tpu.parallel.mesh import replicate_state
+
+    gen, state, step = setup
+    batch = sine_batch(b=8, seed=42)
+    _, single = step(state, batch)
+
+    mesh = make_mesh(n_devices=4)
+    pstep = make_parallel_train_step(step, mesh, donate=False)
+    _, sharded = pstep(replicate_state(state, mesh), batch)
+    for k in single:
+        np.testing.assert_allclose(
+            float(single[k]), float(sharded[k]), rtol=2e-4, atol=2e-5
+        )
+
+
+def test_wav_segment_dataset(tmp_path):
+    rng = np.random.default_rng(0)
+    for i, n in enumerate([4000, 100, 9000]):
+        write_wav(str(tmp_path / f"a{i}.wav"), rng.standard_normal(n) * 0.1)
+    sub = tmp_path / "sub"
+    os.makedirs(sub)
+    write_wav(str(sub / "b.wav"), rng.standard_normal(3000) * 0.1)
+
+    paths = wav_paths_from_source(str(tmp_path))
+    assert len(paths) == 4  # recursive
+
+    ds = WavSegmentDataset(paths, segment=2048, sample_rate=22050)
+    batches = list(ds.batches(batch_size=3, steps=2))
+    assert len(batches) == 2
+    assert batches[0]["wav"].shape == (3, 2048)
+    assert batches[0]["wav"].dtype == np.float32
+    # short file zero-pads
+    short = ds.sample_segment(1)
+    assert short.shape == (2048,) and np.all(short[200:] == 0)
+
+
+def test_wav_paths_from_filelist(tmp_path):
+    """TTS filelist mel paths rewrite to the preprocessor's wav layout."""
+    mel_dir = tmp_path / "feats" / "mel" / "spk1"
+    wav_dir = tmp_path / "feats" / "wav" / "spk1"
+    os.makedirs(mel_dir)
+    os.makedirs(wav_dir)
+    write_wav(str(wav_dir / "utt1.wav"), np.zeros(100, np.float32))
+    fl = tmp_path / "train.txt"
+    fl.write_text(f"{mel_dir}/spk1-mel-utt1.npy|hello|spk1\n")
+    paths = wav_paths_from_source(str(fl))
+    assert paths == [str(wav_dir / "utt1.wav")]
+    assert os.path.isfile(paths[0])

@@ -1,0 +1,139 @@
+"""Vocoder GAN training CLI (HiFi-GAN / BigVGAN generator + MPD/MRD).
+
+The reference repo carries the discriminators and GAN losses but no
+training loop (reference: DEX-TTS/bigvgan/models.py:221-400, unused);
+this CLI trains/fine-tunes a vocoder on raw wavs — e.g. the trimmed wavs
+the preprocessor writes — with both mel transforms fused into the jitted
+step on device.
+
+    python train_vocoder.py --data ./preprocessed/LJSpeech/wav \
+        --vocoder hifigan --steps 100000 --ckpt_dir ckpt_hifigan
+
+Multi-chip: add --n_devices N (data-parallel over the local mesh).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import numpy as np
+
+from dex_tts_tpu.audio.stft import MelSpectrogram
+from dex_tts_tpu.data.vocoder_dataset import (
+    WavSegmentDataset,
+    wav_paths_from_source,
+)
+from dex_tts_tpu.models.vocoder import (
+    BigVGANConfig,
+    BigVGANGenerator,
+    HiFiGANConfig,
+    HiFiGANGenerator,
+)
+from dex_tts_tpu.models.vocoder.discriminators import DiscriminatorConfig
+from dex_tts_tpu.train.checkpoint import CheckpointManager
+from dex_tts_tpu.train.vocoder import (
+    create_vocoder_train_state,
+    make_vocoder_optimizer,
+    make_vocoder_train_step,
+)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", required=True,
+                   help="wav directory or TTS filelist")
+    p.add_argument("--vocoder", choices=["hifigan", "bigvgan"],
+                   default="hifigan")
+    p.add_argument("--segment", type=int, default=8192)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--steps", type=int, default=100000)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--lr_decay", type=float, default=0.999)
+    p.add_argument("--steps_per_epoch", type=int, default=1000)
+    p.add_argument("--lambda_mel", type=float, default=45.0)
+    p.add_argument("--sample_rate", type=int, default=22050)
+    p.add_argument("--seed", type=int, default=100)
+    p.add_argument("--ckpt_dir", default="ckpt_vocoder")
+    p.add_argument("--save_every", type=int, default=5000)
+    p.add_argument("--log_every", type=int, default=100)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--n_devices", type=int, default=0,
+                   help="data-parallel device count (0 = single device)")
+    args = p.parse_args()
+
+    gen = (
+        HiFiGANGenerator(HiFiGANConfig())
+        if args.vocoder == "hifigan"
+        else BigVGANGenerator(BigVGANConfig())
+    )
+    mel = MelSpectrogram(sample_rate=args.sample_rate)
+    # full-band mel for the L1 term (upstream fmax_for_loss: null)
+    mel_l1 = MelSpectrogram(
+        sample_rate=args.sample_rate, fmax=args.sample_rate / 2
+    )
+
+    data = WavSegmentDataset(
+        wav_paths_from_source(args.data),
+        segment=args.segment,
+        sample_rate=args.sample_rate,
+        seed=args.seed,
+    )
+    print(f"{len(data)} wav files from {args.data}")
+
+    tx = lambda: make_vocoder_optimizer(
+        args.lr, args.lr_decay, args.steps_per_epoch
+    )
+    init_batch = next(data.batches(args.batch, 1))
+    state, gen_tx, disc_tx, (mpd, mrd) = create_vocoder_train_state(
+        gen, init_batch["wav"], mel,
+        DiscriminatorConfig(),
+        gen_tx=tx(), disc_tx=tx(), seed=args.seed,
+    )
+    step_fn = make_vocoder_train_step(
+        gen, mpd, mrd, gen_tx, disc_tx, mel, mel_l1,
+        lambda_mel=args.lambda_mel,
+    )
+
+    if args.n_devices:
+        from dex_tts_tpu.parallel import make_mesh, make_parallel_train_step
+
+        mesh = make_mesh(n_devices=args.n_devices)
+        step_fn = make_parallel_train_step(step_fn, mesh)
+        from dex_tts_tpu.parallel.mesh import replicate_state
+
+        state = replicate_state(state, mesh)
+    else:
+        step_fn = jax.jit(step_fn, donate_argnums=(0,))
+
+    ckpt = CheckpointManager(args.ckpt_dir)
+    if args.resume and ckpt.exists("last"):
+        state = ckpt.restore(state, "last")
+        print(f"resumed at step {int(state.step)}")
+
+    # track the step count host-side: int(state.step) per iteration would
+    # add a ~30 ms device round-trip per step on the remote-TPU link
+    start = int(state.step)
+    t0, last_log = time.time(), start
+    for i, batch in enumerate(data.batches(args.batch, args.steps - start), 1):
+        state, metrics = step_fn(state, batch)
+        n = start + i
+        if n % args.log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            dt = time.time() - t0
+            rate = (n - last_log) / dt if dt > 0 else 0.0
+            print(json.dumps({"step": n, "steps_per_sec": round(rate, 3),
+                              **{k: round(v, 4) for k, v in m.items()}}),
+                  flush=True)
+            t0, last_log = time.time(), n
+        if n % args.save_every == 0:
+            ckpt.save(state, "last")
+            ckpt.save(state, f"step_{n}")
+    ckpt.save(state, "last")
+    print(f"done at step {int(state.step)}")
+
+
+if __name__ == "__main__":
+    main()
