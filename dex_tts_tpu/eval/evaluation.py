@@ -89,6 +89,16 @@ def load_vocoder(cfg):
         }
     arch.setdefault("num_mels", n_mels)
 
+    # flax-native generator checkpoint written by train_vocoder.py
+    # (orbax dir `gen_last`/`gen_best` holding the raw params pytree) —
+    # takes precedence over converted torch weights
+    orbax_tag = None
+    if path:
+        for t in ("gen_best", "gen_last"):
+            if os.path.isdir(os.path.join(path, t)):
+                orbax_tag = t
+                break
+
     if kind == "bigvgan":
         # optional TPU knobs (see ops/snake.py, BigVGANConfig)
         if cfg.get("vocoder_dtype"):
@@ -111,6 +121,20 @@ def load_vocoder(cfg):
             else []
         )
         convert = hifigan_torch_to_flax
+    if orbax_tag:
+        import jax
+        import jax.numpy as jnp
+        import orbax.checkpoint as ocp
+
+        target = jax.eval_shape(
+            voc.init,
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, arch["num_mels"], 16)),
+        )["params"]
+        params = ocp.StandardCheckpointer().restore(
+            os.path.abspath(os.path.join(path, orbax_tag)), target
+        )
+        return voc, params
     for cand in candidates:
         if os.path.isfile(cand):
             params = convert(load_torch_checkpoint(cand), voc.cfg)

@@ -162,3 +162,43 @@ def test_wav_paths_from_filelist(tmp_path):
     paths = wav_paths_from_source(str(fl))
     assert paths == [str(wav_dir / "utt1.wav")]
     assert os.path.isfile(paths[0])
+
+
+def test_load_vocoder_orbax_generator(setup, tmp_path):
+    """load_vocoder restores a flax-native generator checkpoint written by
+    train_vocoder.py (orbax `gen_last` dir + config.json arch)."""
+    import json
+
+    from dex_tts_tpu.eval.evaluation import load_vocoder
+    from dex_tts_tpu.train.checkpoint import CheckpointManager
+    from dex_tts_tpu.utils import Config
+
+    _, state, _ = setup
+    ckpt = CheckpointManager(str(tmp_path))
+    ckpt.save(state.gen_params, "gen_last")
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump(
+            {
+                "num_mels": TINY_GEN.num_mels,
+                "upsample_rates": list(TINY_GEN.upsample_rates),
+                "upsample_kernel_sizes": list(TINY_GEN.upsample_kernel_sizes),
+                "upsample_initial_channel": TINY_GEN.upsample_initial_channel,
+                "resblock_kernel_sizes": list(TINY_GEN.resblock_kernel_sizes),
+                "resblock_dilation_sizes": [
+                    list(d) for d in TINY_GEN.resblock_dilation_sizes
+                ],
+            },
+            f,
+        )
+    cfg = Config(
+        {
+            "vocoder": "hifigan",
+            "preprocess": {"n_mels": TINY_GEN.num_mels},
+            "path": {"vocoder_path": str(tmp_path)},
+        }
+    )
+    voc, params = load_vocoder(cfg)
+    assert voc.cfg.upsample_rates == TINY_GEN.upsample_rates
+    a = jax.tree.leaves(state.gen_params)[0]
+    b = jax.tree.leaves(params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -131,7 +131,11 @@ def main():
         if n % args.save_every == 0:
             ckpt.save(state, "last")
             ckpt.save(state, f"step_{n}")
+            # serving handoff: raw generator params, restorable by
+            # eval.load_vocoder via path.vocoder_path = ckpt_dir
+            ckpt.save(state.gen_params, "gen_last")
     ckpt.save(state, "last")
+    ckpt.save(state.gen_params, "gen_last")
     print(f"done at step {int(state.step)}")
 
 
