@@ -32,8 +32,12 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
 def write_wav(path: str, wav: np.ndarray, sample_rate: int = 22050) -> None:
     """Write float signal as 22.05 kHz int16 (clamped), the reference's
     output format (reference: DEX-TTS/synthesize.py:104-112)."""
-    wav = np.clip(np.asarray(wav, np.float32), -1.0, 1.0)
-    wavfile.write(path, sample_rate, (wav * 32768.0).astype(np.int16))
+    scaled = np.asarray(wav, np.float32) * 32768.0
+    # clip in the int16 domain: an exact +1.0 sample would hit 32768 and
+    # wrap to -32768 under a bare astype
+    wavfile.write(
+        path, sample_rate, np.clip(scaled, -32768, 32767).astype(np.int16)
+    )
 
 
 def resample(wav: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:

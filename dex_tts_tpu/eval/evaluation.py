@@ -122,7 +122,6 @@ def load_vocoder(cfg):
         )
         convert = hifigan_torch_to_flax
     if orbax_tag:
-        import jax
         import jax.numpy as jnp
         import orbax.checkpoint as ocp
 

@@ -1,0 +1,191 @@
+"""Micro-batching TTS serving: queue + batcher + stdlib HTTP front end.
+
+The reference has no serving story (one-shot synthesize.py only —
+reference: DEX-TTS/synthesize.py:115-138). On TPU the economics demand
+batching: one 50-step sampler dispatch amortizes over every sentence in
+the batch (the denoiser saturates the MXU from batch ≈ 8, docs/SERVING.md),
+so a server must coalesce concurrent requests into one program dispatch.
+
+`MicroBatcher` is the core: callers `submit()` individual sentences and
+block on a future; a worker thread drains the queue into batches of up to
+`max_batch`, waiting at most `max_wait_ms` for stragglers, and runs the
+whole batch through one `Synthesizer.tts` call (one compiled-graph
+dispatch per frame bucket). `TTSRequestHandler`/`make_server` wrap it in
+a dependency-free HTTP JSON API:
+
+    POST /tts     {"texts": ["...", ...]}  →  {"wavs": [b64 int16], ...}
+    GET  /healthz                          →  {"ok": true, ...}
+
+Run via the `serve.py` CLI.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+class MicroBatcher:
+    """Coalesce concurrent single-sentence requests into batched calls.
+
+    infer_fn: list[str] -> list[dict] (one result per sentence, any
+    payload — the server uses Synthesizer.tts outputs)."""
+
+    def __init__(
+        self,
+        infer_fn,
+        max_batch: int = 16,
+        max_wait_ms: float = 25.0,
+    ):
+        self.infer_fn = infer_fn
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1e3
+        self.batch_sizes: list[int] = []  # observability / tests
+        self._q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, text: str) -> Future:
+        fut: Future = Future()
+        self._q.put((text, fut))
+        return fut
+
+    def close(self):
+        self._stop.set()
+        self._q.put(None)  # wake the worker
+        self._worker.join(timeout=5)
+
+    def _collect(self) -> list:
+        """Block for the first request, then linger up to max_wait_s for
+        more (or until max_batch)."""
+        first = self._q.get()
+        if first is None:
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                item = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if item is None:
+                break
+            batch.append(item)
+        return batch
+
+    def _run(self):
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            texts = [t for t, _ in batch]
+            self.batch_sizes.append(len(texts))
+            try:
+                results = self.infer_fn(texts)
+                for (_, fut), res in zip(batch, results):
+                    fut.set_result(res)
+            except Exception as e:  # surface to every caller in the batch
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+
+def wav_to_b64(wav: np.ndarray) -> str:
+    """float [-1,1] → base64 of int16 little-endian PCM (the reference's
+    output sample format, DEX-TTS/synthesize.py:104-112)."""
+    scaled = np.asarray(wav, np.float32) * 32768.0
+    pcm = np.clip(scaled, -32768, 32767).astype("<i2")  # 1.0 must not wrap
+    return base64.b64encode(pcm.tobytes()).decode("ascii")
+
+
+def make_server(
+    batcher: MicroBatcher,
+    host: str = "127.0.0.1",
+    port: int = 8901,
+    sample_rate: int = 22050,
+    info: dict | None = None,
+) -> ThreadingHTTPServer:
+    """HTTP front end over a MicroBatcher. Request threads block on their
+    futures; batching happens in the worker regardless of which thread
+    carried which request."""
+    stats = {"requests": 0, "sentences": 0}
+    srv_info = dict(info or {})
+
+    class TTSRequestHandler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path != "/healthz":
+                return self._json(404, {"error": "not found"})
+            self._json(
+                200,
+                {
+                    "ok": True,
+                    "batch_sizes": batcher.batch_sizes[-20:],
+                    **stats,
+                    **srv_info,
+                },
+            )
+
+        def do_POST(self):
+            if self.path != "/tts":
+                return self._json(404, {"error": "not found"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                texts = req.get("texts") or []
+                if (
+                    not isinstance(texts, list)
+                    or not texts
+                    or not all(
+                        isinstance(t, str) and t.strip() for t in texts
+                    )
+                ):
+                    return self._json(
+                        400, {"error": "texts: non-empty list of strings"}
+                    )
+            except (ValueError, json.JSONDecodeError) as e:
+                return self._json(400, {"error": str(e)})
+
+            t0 = time.monotonic()
+            futs = [batcher.submit(t) for t in texts]
+            try:
+                outs = [f.result(timeout=600) for f in futs]
+            except Exception as e:
+                return self._json(500, {"error": repr(e)})
+            stats["requests"] += 1
+            stats["sentences"] += len(texts)
+            wavs = [wav_to_b64(o["wav"]) for o in outs]
+            audio_s = sum(len(o["wav"]) for o in outs) / sample_rate
+            wall = time.monotonic() - t0
+            self._json(
+                200,
+                {
+                    "wavs": wavs,
+                    "sample_rate": sample_rate,
+                    "audio_seconds": round(audio_s, 3),
+                    "rtf": round(wall / audio_s, 5) if audio_s else None,
+                },
+            )
+
+    return ThreadingHTTPServer((host, port), TTSRequestHandler)

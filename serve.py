@@ -1,0 +1,93 @@
+"""TTS serving daemon: micro-batching HTTP server over the Synthesizer.
+
+The reference stops at a one-shot CLI (DEX-TTS/synthesize.py); serving on
+TPU wants concurrent requests coalesced into one compiled-graph dispatch
+(see dex_tts_tpu/serving.py). Endpoints:
+
+  POST /tts      {"texts": ["Hello there.", ...]}
+                 → {"wavs": [<b64 int16 PCM>], "sample_rate": 22050, "rtf": ...}
+  GET  /healthz  → {"ok": true, "batch_sizes": [...], ...}
+
+  python serve.py --config dex_tts_tpu/config/presets/vctk.yaml \
+      --weight_path checkpoints/VCTK-0 --ref_name ref.wav --port 8901
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from dex_tts_tpu.eval.evaluation import load_synthesizer
+from dex_tts_tpu.serving import MicroBatcher, make_server
+from dex_tts_tpu.utils import Config, seed_init
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--weight_path", required=True,
+                   help="experiment dir with ckpt/")
+    p.add_argument("--ref_name", default=None,
+                   help="default reference wav (DEX style source)")
+    p.add_argument("--spk_id", type=int, default=None, help="GeDEX speaker")
+    p.add_argument("--n_timesteps", type=int, default=50)
+    p.add_argument("--temperature", type=float, default=1.5)
+    p.add_argument("--checkpoint_tag", default="best-train")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8901)
+    p.add_argument("--max_batch", type=int, default=16)
+    p.add_argument("--max_wait_ms", type=float, default=25.0)
+    p.add_argument("--warmup", default="Warm up the compiled buckets.",
+                   help="sentence synthesized once at startup ('' skips)")
+    p.add_argument("--seed", type=int, default=100)
+    args = p.parse_args()
+
+    cfg = Config(args.config)
+    seed_init(args.seed)
+    synth, _ = load_synthesizer(
+        cfg, args.weight_path, n_timesteps=args.n_timesteps,
+        tag=args.checkpoint_tag,
+    )
+
+    key_holder = [jax.random.PRNGKey(args.seed)]
+
+    def infer(texts):
+        key_holder[0], sub = jax.random.split(key_holder[0])
+        kw = {}
+        if args.ref_name:
+            kw["ref_wavs"] = [args.ref_name] * len(texts)
+        if args.spk_id is not None:
+            kw["spk_ids"] = [args.spk_id] * len(texts)
+        return synth.tts(
+            texts, key=sub, temperature=args.temperature, **kw
+        )
+
+    if args.warmup:
+        print("warmup synthesis ...", flush=True)
+        infer([args.warmup])
+
+    batcher = MicroBatcher(
+        infer, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
+    )
+    srv = make_server(
+        batcher,
+        host=args.host,
+        port=args.port,
+        sample_rate=int(cfg.preprocess.get("sample_rate", 22050)),
+        info={"backend": jax.default_backend(),
+              "n_timesteps": args.n_timesteps},
+    )
+    print(f"serving on http://{args.host}:{args.port} "
+          f"(max_batch {args.max_batch}, max_wait {args.max_wait_ms} ms)",
+          flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        batcher.close()
+
+
+if __name__ == "__main__":
+    main()

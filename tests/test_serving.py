@@ -1,0 +1,203 @@
+"""Micro-batching server: coalescing, HTTP roundtrip, error paths.
+Reference counterpart: none (the reference stops at one-shot
+synthesize.py); the behavioral contract is dex_tts_tpu/serving.py's."""
+
+import base64
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from dex_tts_tpu.serving import MicroBatcher, make_server, wav_to_b64
+
+
+def slow_infer(calls, delay=0.05):
+    def infer(texts):
+        calls.append(list(texts))
+        time.sleep(delay)
+        return [
+            {"wav": np.full((100,), 0.5, np.float32), "text": t}
+            for t in texts
+        ]
+
+    return infer
+
+
+def test_microbatcher_coalesces_concurrent_requests():
+    calls = []
+    b = MicroBatcher(slow_infer(calls), max_batch=8, max_wait_ms=80)
+    try:
+        futs = [b.submit(f"s{i}") for i in range(6)]
+        outs = [f.result(timeout=10) for f in futs]
+    finally:
+        b.close()
+    assert [o["text"] for o in outs] == [f"s{i}" for i in range(6)]
+    # 6 submissions within the linger window → far fewer infer calls
+    assert len(calls) <= 2
+    assert sum(len(c) for c in calls) == 6
+
+
+def test_microbatcher_respects_max_batch():
+    calls = []
+    b = MicroBatcher(slow_infer(calls, delay=0.0), max_batch=2,
+                     max_wait_ms=60)
+    try:
+        futs = [b.submit(f"s{i}") for i in range(5)]
+        [f.result(timeout=10) for f in futs]
+    finally:
+        b.close()
+    assert all(len(c) <= 2 for c in calls)
+
+
+def test_microbatcher_propagates_errors():
+    def boom(texts):
+        raise RuntimeError("graph exploded")
+
+    b = MicroBatcher(boom, max_batch=4, max_wait_ms=10)
+    try:
+        f = b.submit("hello")
+        with pytest.raises(RuntimeError, match="graph exploded"):
+            f.result(timeout=10)
+    finally:
+        b.close()
+    # the worker survives a failing batch
+    f2 = MicroBatcher(slow_infer([], 0.0), max_wait_ms=5).submit("x")
+    assert f2.result(timeout=10)["text"] == "x"
+
+
+@pytest.fixture()
+def server():
+    calls = []
+    b = MicroBatcher(slow_infer(calls), max_batch=8, max_wait_ms=40)
+    srv = make_server(b, port=0, sample_rate=22050, info={"backend": "cpu"})
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv, calls
+    srv.shutdown()
+    b.close()
+
+
+def _post(port, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/tts",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_tts_roundtrip(server):
+    srv, calls = server
+    port = srv.server_address[1]
+    code, out = _post(port, {"texts": ["hello world", "second"]})
+    assert code == 200
+    assert len(out["wavs"]) == 2 and out["sample_rate"] == 22050
+    pcm = np.frombuffer(base64.b64decode(out["wavs"][0]), dtype="<i2")
+    assert pcm.shape == (100,) and abs(pcm[0] / 32768.0 - 0.5) < 1e-3
+    assert out["rtf"] is not None and out["audio_seconds"] > 0
+
+    # concurrent clients coalesce into shared batches
+    results = []
+    threads = [
+        threading.Thread(
+            target=lambda i=i: results.append(
+                _post(port, {"texts": [f"c{i}"]})
+            )
+        )
+        for i in range(4)
+    ]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert all(code == 200 for code, _ in results)
+    assert max(len(c) for c in calls) >= 2  # batching actually happened
+
+    # health endpoint reports stats
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/healthz", timeout=10
+    ) as r:
+        h = json.loads(r.read())
+    assert h["ok"] and h["backend"] == "cpu" and h["sentences"] >= 6
+
+
+def test_http_bad_requests(server):
+    srv, _ = server
+    port = srv.server_address[1]
+    assert _post(port, {})[0] == 400
+    assert _post(port, {"texts": "not a list"})[0] == 400
+    assert _post(port, {"texts": [""]})[0] == 400
+    code, _ = _post(port, {"texts": [123]})
+    assert code == 400
+
+
+def test_wav_to_b64_clamps():
+    wav = np.asarray([2.0, -2.0, 0.0], np.float32)
+    pcm = np.frombuffer(base64.b64decode(wav_to_b64(wav)), dtype="<i2")
+    assert pcm[0] == 32767 and pcm[1] == -32768 and pcm[2] == 0
+
+
+def test_serve_end_to_end_tiny(tmp_path):
+    """Full serving stack over a real (tiny, random-weight) GeDEX model:
+    checkpoint → load_synthesizer → MicroBatcher → HTTP → decodable wav.
+    Mirrors serve.py's wiring minus argparse."""
+    import importlib.util
+    import os
+
+    import jax
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "e2e_helpers", os.path.join(here, "test_e2e_train.py")
+    )
+    helpers = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(helpers)
+
+    root = helpers.make_corpus(str(tmp_path))
+    cfg = helpers.tiny_cfg(root, "gedex")
+
+    from dex_tts_tpu.config import build_model
+    from dex_tts_tpu.data import TextMelDataset
+    from dex_tts_tpu.eval.evaluation import load_synthesizer
+    from dex_tts_tpu.train import create_train_state
+    from dex_tts_tpu.train.checkpoint import CheckpointManager
+
+    model = build_model(cfg)
+    ds = TextMelDataset(cfg.path.val_path, add_blank=True, load_style=False)
+    item = ds[0]
+    batch = {
+        "x": item["x"][None],
+        "x_lengths": np.asarray([len(item["x"])], np.int32),
+        "y": item["y"][None],
+        "y_lengths": np.asarray([item["y"].shape[1]], np.int32),
+    }
+    state, _ = create_train_state(model, batch)
+    exp_dir = str(tmp_path / "exp")
+    CheckpointManager(os.path.join(exp_dir, "ckpt")).save(state, "best-train")
+
+    synth, _ = load_synthesizer(cfg, exp_dir, n_timesteps=2)
+    key_holder = [jax.random.PRNGKey(0)]
+
+    def infer(texts):
+        key_holder[0], sub = jax.random.split(key_holder[0])
+        return synth.tts(texts, key=sub)
+
+    b = MicroBatcher(infer, max_batch=4, max_wait_ms=30)
+    srv = make_server(b, port=0, sample_rate=22050)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        code, out = _post(port, {"texts": ["hello there", "go now"]})
+        assert code == 200 and len(out["wavs"]) == 2
+        pcm = np.frombuffer(base64.b64decode(out["wavs"][0]), dtype="<i2")
+        assert pcm.size >= 256 * 16  # at least one frame bucket of audio
+        assert np.isfinite(pcm.astype(np.float32)).all()
+    finally:
+        srv.shutdown()
+        b.close()
