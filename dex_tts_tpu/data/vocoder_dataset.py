@@ -1,9 +1,13 @@
 """Waveform-segment data pipeline for vocoder GAN training.
 
-The TTS data layer feeds precomputed mel `.npy`; vocoder training instead
-feeds raw fixed-length waveform segments — mel is computed on device
-inside the jitted step (train/vocoder.py), so the host does no STFT work.
-Static segment length ⇒ one compiled program for the whole run.
+reference: DEX-TTS has no vocoder training data layer (its vocoders are
+inference-only, DEX-TTS/bigvgan/models.py:221-400 untrained); the
+behavioral model is upstream HiFi-GAN's MelDataset (random fixed-length
+crops, zero-pad short files), re-designed so mel never happens on the
+host: the TTS data layer feeds precomputed mel `.npy`, vocoder training
+feeds raw waveform segments and mel is computed on device inside the
+jitted step (train/vocoder.py). Static segment length ⇒ one compiled
+program for the whole run.
 
 Sources: an explicit list of wav paths, a directory (recursive *.wav
 glob), or a TTS filelist (`path|text|spk` — the mel path is rewritten to
@@ -45,8 +49,10 @@ def wav_paths_from_source(source: str) -> list[str]:
 
 
 class WavSegmentDataset:
-    """Random `segment`-sample crops, resampled to `sample_rate`, cached
-    decoded. Short files zero-pad (upstream HiFi-GAN behavior)."""
+    """Random `segment`-sample crops, resampled to `sample_rate`. Decoded
+    audio is cached up to `cache_bytes` (beyond that, files are re-read
+    per sample — a LibriTTS-scale corpus must not OOM the host). Short
+    files zero-pad (upstream HiFi-GAN behavior)."""
 
     def __init__(
         self,
@@ -54,28 +60,38 @@ class WavSegmentDataset:
         segment: int = 8192,
         sample_rate: int = 22050,
         seed: int = 0,
-        cache: bool = True,
+        cache_bytes: int = 2 << 30,
     ):
         if not paths:
             raise ValueError("no wav files found")
+        missing = [p for p in paths if not os.path.isfile(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"{len(missing)}/{len(paths)} wav paths do not exist "
+                f"(first: {missing[0]}) — check the filelist/layout now "
+                "rather than thousands of steps into training"
+            )
         self.paths = list(paths)
         self.segment = segment
         self.sample_rate = sample_rate
         self.rng = np.random.default_rng(seed)
-        self._cache: dict[int, np.ndarray] | None = {} if cache else None
+        self.cache_bytes = cache_bytes
+        self._cache: dict[int, np.ndarray] = {}
+        self._cached_bytes = 0
 
     def __len__(self):
         return len(self.paths)
 
     def _load(self, i: int) -> np.ndarray:
-        if self._cache is not None and i in self._cache:
+        if i in self._cache:
             return self._cache[i]
         wav, sr = read_wav(self.paths[i])
         if sr != self.sample_rate:
             wav = resample(wav, sr, self.sample_rate)
         wav = wav.astype(np.float32)
-        if self._cache is not None:
+        if self._cached_bytes + wav.nbytes <= self.cache_bytes:
             self._cache[i] = wav
+            self._cached_bytes += wav.nbytes
         return wav
 
     def sample_segment(self, i: int) -> np.ndarray:

@@ -93,11 +93,28 @@ class MicroBatcher:
             self.batch_sizes.append(len(texts))
             try:
                 results = self.infer_fn(texts)
+                if len(results) != len(texts):
+                    raise RuntimeError(
+                        f"infer_fn returned {len(results)} results for "
+                        f"{len(texts)} texts"
+                    )
                 for (_, fut), res in zip(batch, results):
                     fut.set_result(res)
-            except Exception as e:  # surface to every caller in the batch
-                for _, fut in batch:
-                    if not fut.done():
+            except Exception:
+                # one bad sentence must not poison its co-batched peers:
+                # retry each item alone so only the real offender fails
+                for t, fut in batch:
+                    if fut.done():
+                        continue
+                    try:
+                        res = self.infer_fn([t])
+                        if len(res) != 1:
+                            raise RuntimeError(
+                                f"infer_fn returned {len(res)} results "
+                                "for 1 text"
+                            )
+                        fut.set_result(res[0])
+                    except Exception as e:
                         fut.set_exception(e)
 
 

@@ -138,6 +138,13 @@ def make_vocoder_train_step(
 
     def step(state: VocoderTrainState, batch: dict):
         wav = batch["wav"]  # (B, S)
+        if wav.shape[1] % hop:
+            raise ValueError(
+                f"segment length {wav.shape[1]} must be a multiple of the "
+                f"mel hop {hop}: the generator upsamples exactly hop x "
+                "frames, so real and fake waveforms would mismatch in the "
+                "discriminators"
+            )
         n_frames = wav.shape[1] // hop
         mel_in = mel_input(wav)[0][:, :, :n_frames]
         mel_target = mel_loss(wav)[0]

@@ -51,12 +51,17 @@ def main():
     )
 
     key_holder = [jax.random.PRNGKey(args.seed)]
+    # fixed reference: preprocess once at startup (trim/resample/mel/lf0),
+    # not per sentence per request in the serving hot path
+    ref_feats = (
+        synth.prepare_reference(args.ref_name) if args.ref_name else None
+    )
 
     def infer(texts):
         key_holder[0], sub = jax.random.split(key_holder[0])
         kw = {}
-        if args.ref_name:
-            kw["ref_wavs"] = [args.ref_name] * len(texts)
+        if ref_feats is not None:
+            kw["ref_feats"] = [ref_feats] * len(texts)
         if args.spk_id is not None:
             kw["spk_ids"] = [args.spk_id] * len(texts)
         return synth.tts(

@@ -80,14 +80,14 @@ def server():
     b.close()
 
 
-def _post(port, payload):
+def _post(port, payload, timeout=30):
     req = urllib.request.Request(
         f"http://127.0.0.1:{port}/tts",
         data=json.dumps(payload).encode(),
         headers={"Content-Type": "application/json"},
     )
     try:
-        with urllib.request.urlopen(req, timeout=30) as r:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
             return r.status, json.loads(r.read())
     except urllib.error.HTTPError as e:
         return e.code, json.loads(e.read())
@@ -193,11 +193,48 @@ def test_serve_end_to_end_tiny(tmp_path):
     t.start()
     try:
         port = srv.server_address[1]
-        code, out = _post(port, {"texts": ["hello there", "go now"]})
+        # generous timeout: tiny-model CPU compile shares one host core
+        # with whatever else runs (observed >30 s under load)
+        code, out = _post(
+            port, {"texts": ["hello there", "go now"]}, timeout=600
+        )
         assert code == 200 and len(out["wavs"]) == 2
         pcm = np.frombuffer(base64.b64decode(out["wavs"][0]), dtype="<i2")
         assert pcm.size >= 256 * 16  # at least one frame bucket of audio
         assert np.isfinite(pcm.astype(np.float32)).all()
     finally:
         srv.shutdown()
+        b.close()
+
+
+def test_microbatcher_isolates_poison_requests():
+    """One failing sentence must not 500 its co-batched peers: the batch
+    is retried per item and only the offender gets the exception."""
+    def infer(texts):
+        if any(t == "poison" for t in texts):
+            raise RuntimeError("bad sentence")
+        return [{"wav": np.zeros(10, np.float32), "text": t} for t in texts]
+
+    b = MicroBatcher(infer, max_batch=8, max_wait_ms=80)
+    try:
+        futs = {t: b.submit(t) for t in ["good1", "poison", "good2"]}
+        assert futs["good1"].result(timeout=10)["text"] == "good1"
+        assert futs["good2"].result(timeout=10)["text"] == "good2"
+        with pytest.raises(RuntimeError, match="bad sentence"):
+            futs["poison"].result(timeout=10)
+    finally:
+        b.close()
+
+
+def test_microbatcher_result_count_mismatch():
+    def short(texts):
+        return [{"wav": np.zeros(4, np.float32)}] * (len(texts) - 1)
+
+    b = MicroBatcher(short, max_batch=4, max_wait_ms=40)
+    try:
+        futs = [b.submit(f"t{i}") for i in range(2)]
+        for f in futs:
+            with pytest.raises(RuntimeError, match="returned"):
+                f.result(timeout=10)
+    finally:
         b.close()

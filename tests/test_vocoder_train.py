@@ -202,3 +202,53 @@ def test_load_vocoder_orbax_generator(setup, tmp_path):
     a = jax.tree.leaves(state.gen_params)[0]
     b = jax.tree.leaves(params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_segment_must_be_hop_multiple(setup):
+    """A segment not divisible by the mel hop fails with a clear error,
+    not a shape mismatch deep inside jit."""
+    _, state, _ = setup
+    gen = HiFiGANGenerator(TINY_GEN)
+    mel = tiny_mel()
+    tx = make_vocoder_optimizer()
+    from dex_tts_tpu.models.vocoder.discriminators import (
+        MultiPeriodDiscriminator,
+        MultiResolutionDiscriminator,
+    )
+
+    step = make_vocoder_train_step(
+        gen,
+        MultiPeriodDiscriminator(TINY_DISC),
+        MultiResolutionDiscriminator(TINY_DISC),
+        tx, tx, mel,
+    )
+    bad = {"wav": np.zeros((2, SEGMENT - 3), np.float32)}
+    with pytest.raises(ValueError, match="multiple of the mel hop"):
+        step(state, bad)
+
+
+def test_dataset_rejects_missing_paths(tmp_path):
+    write_wav(str(tmp_path / "ok.wav"), np.zeros(100, np.float32))
+    with pytest.raises(FileNotFoundError, match="1/2 wav paths"):
+        WavSegmentDataset(
+            [str(tmp_path / "ok.wav"), str(tmp_path / "missing.wav")],
+            segment=64,
+        )
+
+
+def test_dataset_cache_bound(tmp_path):
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        write_wav(str(tmp_path / f"w{i}.wav"),
+                  rng.standard_normal(5000) * 0.1)
+    paths = wav_paths_from_source(str(tmp_path))
+    # bound below one decoded file: nothing may be cached
+    ds = WavSegmentDataset(paths, segment=1024, cache_bytes=1000)
+    for i in range(3):
+        ds.sample_segment(i)
+    assert ds._cached_bytes == 0 and not ds._cache
+    # generous bound: everything cached
+    ds2 = WavSegmentDataset(paths, segment=1024, cache_bytes=1 << 20)
+    for i in range(3):
+        ds2.sample_segment(i)
+    assert len(ds2._cache) == 3

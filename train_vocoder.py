@@ -45,6 +45,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--data", required=True,
                    help="wav directory or TTS filelist")
+    p.add_argument("--config", default=None,
+                   help="TTS preset yaml: the vocoder trains on the SAME "
+                        "mel parameters (preprocess section) the TTS "
+                        "pipeline will feed it at serving time")
     p.add_argument("--vocoder", choices=["hifigan", "bigvgan"],
                    default="hifigan")
     p.add_argument("--segment", type=int, default=8192)
@@ -55,6 +59,8 @@ def main():
     p.add_argument("--steps_per_epoch", type=int, default=1000)
     p.add_argument("--lambda_mel", type=float, default=45.0)
     p.add_argument("--sample_rate", type=int, default=22050)
+    p.add_argument("--cache_gb", type=float, default=2.0,
+                   help="decoded-audio host cache bound (0 disables)")
     p.add_argument("--seed", type=int, default=100)
     p.add_argument("--ckpt_dir", default="ckpt_vocoder")
     p.add_argument("--save_every", type=int, default=5000)
@@ -64,15 +70,48 @@ def main():
                    help="data-parallel device count (0 = single device)")
     args = p.parse_args()
 
+    # mel parameters must match what the TTS pipeline feeds the vocoder
+    # at serving time — read them from the preset when given
+    mel_kw = dict(sample_rate=args.sample_rate)
+    n_mels = 80
+    if args.config:
+        from dex_tts_tpu.utils import Config
+
+        pre = Config(args.config).preprocess
+        mel_kw = dict(
+            n_fft=int(pre.get("n_fft", 1024)),
+            hop_length=int(pre.get("hop_length", 256)),
+            win_length=int(pre.get("win_length", 1024)),
+            n_mels=int(pre.get("n_mels", 80)),
+            sample_rate=int(pre.get("sample_rate", args.sample_rate)),
+            fmin=float(pre.get("f_min", 0.0)),
+            fmax=float(pre.get("f_max", 8000.0)),
+        )
+        n_mels = mel_kw["n_mels"]
+        args.sample_rate = mel_kw["sample_rate"]
+
     gen = (
-        HiFiGANGenerator(HiFiGANConfig())
+        HiFiGANGenerator(HiFiGANConfig(num_mels=n_mels))
         if args.vocoder == "hifigan"
-        else BigVGANGenerator(BigVGANConfig())
+        else BigVGANGenerator(BigVGANConfig(num_mels=n_mels))
     )
-    mel = MelSpectrogram(sample_rate=args.sample_rate)
+    mel = MelSpectrogram(**mel_kw)
+    up = 1
+    for r in gen.cfg.upsample_rates:
+        up *= r
+    if up != mel.hop_length:
+        p.error(
+            f"generator upsamples x{up} but the mel hop is "
+            f"{mel.hop_length}; pick matching upsample_rates/hop"
+        )
+    if args.segment % mel.hop_length:
+        p.error(
+            f"--segment {args.segment} must be a multiple of the mel hop "
+            f"({mel.hop_length})"
+        )
     # full-band mel for the L1 term (upstream fmax_for_loss: null)
     mel_l1 = MelSpectrogram(
-        sample_rate=args.sample_rate, fmax=args.sample_rate / 2
+        **{**mel_kw, "fmax": args.sample_rate / 2}
     )
 
     data = WavSegmentDataset(
@@ -80,6 +119,7 @@ def main():
         segment=args.segment,
         sample_rate=args.sample_rate,
         seed=args.seed,
+        cache_bytes=int(args.cache_gb * (1 << 30)),
     )
     print(f"{len(data)} wav files from {args.data}")
 
