@@ -213,10 +213,14 @@ class Trainer:
         jit: bool = True,
         donate: bool = True,
         mesh=None,
+        preemption=None,
     ):
         self.model = model
         self.state = state
         self.mesh = mesh
+        # PreemptionGuard (train/preemption.py): polled between steps;
+        # fit() checkpoints and returns early when it trips
+        self.preemption = preemption
         if mesh is not None:
             from dex_tts_tpu.parallel import replicate_state
 
@@ -322,6 +326,8 @@ class Trainer:
         sums, count = None, 0
         key = jax.random.PRNGKey(int(self.state.step))
         for batch in loader:
+            if self.preemption is not None and self.preemption.triggered:
+                break
             batch = {k: v for k, v in batch.items() if not isinstance(v, str)}
             batch = self._put_batch(batch)
             if train:
@@ -350,6 +356,15 @@ class Trainer:
         for epoch in range(start_epoch, epochs):
             t0 = time.time()
             train_metrics = self.run_epoch(train_loader_fn(), train=True)
+            if self.preemption is not None and self.preemption.triggered:
+                # grace-window checkpoint: resume continues from here
+                self.ckpt.save(self.state, "last")
+                self.ckpt.save(self.state, "preempt")
+                self.log(
+                    f"preempted during epoch {epoch + 1}: saved "
+                    "last/preempt checkpoints, exiting"
+                )
+                return self.state
             line = f"epoch {epoch + 1} | " + " ".join(
                 f"{k}={v:.4f}" for k, v in sorted(train_metrics.items())
             )

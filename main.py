@@ -19,7 +19,7 @@ from dex_tts_tpu.config import build_model
 from dex_tts_tpu.data import BucketBatcher, TextMelDataset
 from dex_tts_tpu.models.edm import SamplerConfig
 from dex_tts_tpu.ops import fix_len_compatibility
-from dex_tts_tpu.train import Trainer, create_train_state
+from dex_tts_tpu.train import PreemptionGuard, Trainer, create_train_state
 from dex_tts_tpu.utils import Config, seed_init, set_experiment
 
 
@@ -196,6 +196,9 @@ def train(args):
     print(f"model params: {n_params / 1e6:.2f} M | out_size: {out_size}")
 
     syn_fn = make_synthesis_callback(cfg, model, args)
+    # SIGTERM (pod maintenance/reclaim) → checkpoint + clean exit; resume
+    # with --resume (see train/preemption.py)
+    guard = PreemptionGuard()
     trainer = Trainer(
         model,
         state,
@@ -209,6 +212,7 @@ def train(args):
         syn_every=int(cfg.train.get("syn_every", 0)),
         syn_fn=syn_fn,
         mesh=mesh,
+        preemption=guard,
     )
     if args.resume and trainer.ckpt.exists("last"):
         restored = trainer.ckpt.restore(state, "last")

@@ -281,3 +281,42 @@ def test_gradient_accumulation(model_state):
         jax.tree.map(lambda a, b: a - b, s_a.params, state.params)
     )
     assert float(delta) > 0
+
+
+def test_preemption_checkpoints_and_exits(tmp_path):
+    """SIGTERM mid-epoch → the Trainer finishes the in-flight step, saves
+    last/preempt, and fit() returns early; resume picks up the state
+    (reference has no preemption story — SURVEY §5; this is the pod
+    maintenance/reclaim path, train/preemption.py)."""
+    import signal
+
+    from dex_tts_tpu.train import PreemptionGuard, Trainer
+
+    model = tiny_model()
+    state, tx = create_train_state(model, tiny_batch(), out_size=16, lr=1e-3)
+    guard = PreemptionGuard()
+    try:
+        trainer = Trainer(
+            model, state, tx, exp_dir=str(tmp_path), out_size=16,
+            ema_decay=0.99, donate=False, preemption=guard,
+        )
+
+        fired = {"n": 0}
+
+        def loader():
+            for i in range(50):
+                fired["n"] = i + 1
+                if i == 2:
+                    signal.raise_signal(signal.SIGTERM)
+                yield tiny_batch()
+
+        out_state = trainer.fit(lambda: loader(), epochs=3)
+        # the signal landed while batch 3 was being yielded; the loop polls
+        # before processing it, so exactly 2 steps ran instead of 50 x 3
+        assert fired["n"] <= 4
+        assert int(out_state.step) == 2
+        assert trainer.ckpt.exists("last") and trainer.ckpt.exists("preempt")
+        restored = trainer.ckpt.restore(state, "preempt")
+        assert int(restored.step) == int(out_state.step)
+    finally:
+        guard.restore()

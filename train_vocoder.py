@@ -153,11 +153,18 @@ def main():
         state = ckpt.restore(state, "last")
         print(f"resumed at step {int(state.step)}")
 
+    from dex_tts_tpu.train import PreemptionGuard
+
+    guard = PreemptionGuard()  # SIGTERM/SIGINT → save + clean exit
+
     # track the step count host-side: int(state.step) per iteration would
     # add a ~30 ms device round-trip per step on the remote-TPU link
     start = int(state.step)
     t0, last_log = time.time(), start
     for i, batch in enumerate(data.batches(args.batch, args.steps - start), 1):
+        if guard.triggered:
+            print("preempted: saving checkpoint and exiting", flush=True)
+            break
         state, metrics = step_fn(state, batch)
         n = start + i
         if n % args.log_every == 0:
