@@ -145,3 +145,67 @@ def test_random_segment():
     # values are a contiguous window of the source
     row = np.asarray(y_cut)[0, 0]
     assert (np.diff(row) == 1).all()
+
+
+def test_maximum_path_pallas_matches_scan():
+    """The pallas wavefront kernel (interpret mode on CPU) is bit-exact
+    vs the scan implementation and the numpy oracle on ragged batches,
+    including a batch size that forces grid splitting."""
+    from dex_tts_tpu.ops.mas import maximum_path_pallas, maximum_path_scan
+
+    rng = np.random.default_rng(7)
+    shapes = [(5, 12), (3, 3), (1, 7), (8, 20), (7, 8), (8, 8), (2, 19),
+              (6, 16)]
+    value, mask = make_batch(rng, shapes, 8, 20)
+    v, m = jnp.asarray(value), jnp.asarray(mask)
+    ref = np.asarray(maximum_path_scan(v, m))
+    got = np.asarray(maximum_path_pallas(v, m, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+    for i, (tx, ty) in enumerate(shapes):
+        expected = oracle_maximum_path(value[i, :tx, :ty] * 1.0, tx, ty)
+        np.testing.assert_array_equal(got[i, :tx, :ty], expected)
+
+
+def test_maximum_path_pallas_grid_split(monkeypatch):
+    """VMEM-driven batch splitting (grid > 1) returns the same paths."""
+    from dex_tts_tpu.ops import mas
+
+    rng = np.random.default_rng(11)
+    shapes = [(5, 12), (3, 3), (8, 20), (7, 8)]
+    value, mask = make_batch(rng, shapes, 8, 20)
+    v, m = jnp.asarray(value), jnp.asarray(mask)
+    whole = np.asarray(mas.maximum_path_pallas(v, m, interpret=True))
+    # call the unjitted function: the jitted wrapper's cache would skip
+    # the monkeypatched block picker entirely
+    picked = []
+    monkeypatch.setattr(
+        mas, "_pick_batch_block", lambda b, tx, ty: (picked.append(b), 2)[1]
+    )
+    split = np.asarray(
+        mas.maximum_path_pallas.__wrapped__(v, m, interpret=True)
+    )
+    assert picked  # the 2-item grid split really ran
+    np.testing.assert_array_equal(split, whole)
+
+
+def test_mas_backend_dispatch(monkeypatch):
+    """set_mas_backend forces an implementation; auto picks scan on CPU."""
+    from dex_tts_tpu.ops import mas
+
+    calls = []
+    real = mas.maximum_path_scan
+    monkeypatch.setattr(
+        mas, "maximum_path_scan",
+        lambda v, m: (calls.append("scan"), real(v, m))[1],
+    )
+    rng = np.random.default_rng(3)
+    value, mask = make_batch(rng, [(3, 5), (4, 6)], 4, 6)
+    v, m = jnp.asarray(value), jnp.asarray(mask)
+    mas.maximum_path(v, m)
+    assert calls == ["scan"]  # CPU backend → scan
+    try:
+        mas.set_mas_backend("scan")
+        mas.maximum_path(v, m)
+        assert calls == ["scan", "scan"]
+    finally:
+        mas.set_mas_backend(None)
