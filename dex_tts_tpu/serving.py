@@ -59,9 +59,25 @@ class MicroBatcher:
         return fut
 
     def close(self):
+        """Stop the worker and fail still-queued requests.
+
+        The batch being collected when the stop lands is still served
+        (`_collect` returns it on the wake sentinel); anything queued
+        after that gets a fast error instead of a 600 s future timeout.
+        """
         self._stop.set()
         self._q.put(None)  # wake the worker
         self._worker.join(timeout=5)
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is None:
+                continue
+            _, fut = item
+            if not fut.done():
+                fut.set_exception(RuntimeError("server shutting down"))
 
     def _collect(self) -> list:
         """Block for the first request, then linger up to max_wait_s for

@@ -35,6 +35,9 @@ def parse_args():
     p.add_argument("--test_file", type=str, default=None)
     p.add_argument("--sample_size", type=int, default=10)
     p.add_argument("--n_devices", type=int, default=None)
+    p.add_argument("--compile_cache", default=None, metavar="DIR",
+                   help="persistent XLA compile cache dir (TPU only): "
+                        "restarts/resumes skip recompiling each bucket")
     return p.parse_args()
 
 
@@ -144,6 +147,10 @@ def train(args):
 
     cfg = Config(args.config)
     seed_init(args.seed)
+    if getattr(args, "compile_cache", None):
+        from dex_tts_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache(args.compile_cache)
     set_experiment(cfg, tag=args.tag)
     model = build_model(cfg)
     out_size = compute_out_size(cfg)

@@ -15,6 +15,8 @@ TPU wants concurrent requests coalesced into one compiled-graph dispatch
 from __future__ import annotations
 
 import argparse
+import signal
+import threading
 
 import jax
 
@@ -41,10 +43,17 @@ def main():
     p.add_argument("--warmup", default="Warm up the compiled buckets.",
                    help="sentence synthesized once at startup ('' skips)")
     p.add_argument("--seed", type=int, default=100)
+    p.add_argument("--compile_cache", default=None, metavar="DIR",
+                   help="persistent XLA compile cache: restart skips the "
+                        "~1-3 min first-compile of each bucket (TPU only)")
     args = p.parse_args()
 
     cfg = Config(args.config)
     seed_init(args.seed)
+    if args.compile_cache:
+        from dex_tts_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache(args.compile_cache)
     synth, _ = load_synthesizer(
         cfg, args.weight_path, n_timesteps=args.n_timesteps,
         tag=args.checkpoint_tag,
@@ -86,12 +95,23 @@ def main():
     print(f"serving on http://{args.host}:{args.port} "
           f"(max_batch {args.max_batch}, max_wait {args.max_wait_ms} ms)",
           flush=True)
+
+    # SIGTERM (pod maintenance / rolling deploy) → stop accepting, finish
+    # the in-flight batch, fail queued requests fast, exit 0.
+    # srv.shutdown() blocks until serve_forever acknowledges, so it must
+    # run off the main thread (the handler interrupts serve_forever).
+    def _graceful(signum, frame):
+        print("SIGTERM: shutting down after in-flight batch", flush=True)
+        threading.Thread(target=srv.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _graceful)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
         batcher.close()
+        srv.server_close()
 
 
 if __name__ == "__main__":

@@ -238,3 +238,33 @@ def test_microbatcher_result_count_mismatch():
                 f.result(timeout=10)
     finally:
         b.close()
+
+
+def test_close_fails_queued_requests_fast():
+    """Graceful shutdown: the batch in flight when close() lands is still
+    served; requests still queued behind it fail immediately with
+    'server shutting down' instead of hanging to the future timeout."""
+    release = threading.Event()
+    calls = []
+
+    def blocking_infer(texts):
+        calls.append(list(texts))
+        release.wait(timeout=5)
+        return [{"text": t} for t in texts]
+
+    b = MicroBatcher(blocking_infer, max_batch=1, max_wait_ms=5)
+    f1 = b.submit("a")  # enters the worker, blocks in infer
+    while not calls:
+        time.sleep(0.005)
+    f2 = b.submit("b")  # sits in the queue behind it
+
+    closer = threading.Thread(target=b.close)
+    closer.start()
+    time.sleep(0.05)
+    release.set()  # let the in-flight batch finish
+    closer.join(timeout=5)
+    assert not closer.is_alive()
+
+    assert f1.result(timeout=5) == {"text": "a"}
+    with pytest.raises(RuntimeError, match="shutting down"):
+        f2.result(timeout=5)

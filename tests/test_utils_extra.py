@@ -68,3 +68,38 @@ def test_gt_wav_path():
     assert gt_wav_path("/data/wavs/a.wav") == "/data/wavs/a.wav"
     # unknown layout: empty (no crash)
     assert gt_wav_path("/data/out/feats/x.npy") == ""
+
+
+def test_compile_cache_gated_by_backend(tmp_path):
+    """enable_compile_cache refuses non-TPU backends (CPU AOT reload can
+    SIGILL — CLAUDE.md) unless forced; forced, it points JAX's persistent
+    cache at the dir and creates it."""
+    import warnings
+
+    import jax
+
+    from dex_tts_tpu.utils.compile_cache import enable_compile_cache
+
+    cache_dir = os.path.join(tmp_path, "xla_cache")
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    prev_size = jax.config.jax_persistent_cache_min_entry_size_bytes
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            assert enable_compile_cache(cache_dir) is False
+        assert any("compile cache" in str(w.message) for w in caught)
+        assert not os.path.isdir(cache_dir)
+        assert jax.config.jax_compilation_cache_dir == prev_dir
+
+        assert enable_compile_cache(cache_dir, force=True) is True
+        assert os.path.isdir(cache_dir)
+        assert jax.config.jax_compilation_cache_dir == cache_dir
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", prev_min
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_entry_size_bytes", prev_size
+        )
