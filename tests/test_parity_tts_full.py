@@ -174,3 +174,131 @@ def test_full_graph_text_to_mel_parity():
     np.testing.assert_allclose(
         np.asarray(got_dec), want_dec.numpy(), atol=2e-3, rtol=1e-2
     )
+
+
+# ---------------------------------------------------------------------------
+# GeDEX (multi-speaker) full graph: spk embedding → encoder concat + third
+# denoiser channel (reference: GeDEX-TTS/model/tts.py:15-57)
+# ---------------------------------------------------------------------------
+
+from dex_tts_tpu.models.tts import GeDEXTTS  # noqa: E402
+from tests.torch_twins import GeDEXTTSTwin  # noqa: E402
+
+N_SPKS, SPK_DIM = 4, 8  # width C+SPK_DIM must keep key_dim even
+
+
+def build_gedex_pair():
+    torch.manual_seed(1)
+    twin = GeDEXTTSTwin(
+        n_vocab=N_VOCAB, n_feats=N_FEATS, channels=C, heads=HEADS,
+        layers=LAYERS, ffn=FFN, dp_channels=DP, dim=DIM, n_spks=N_SPKS,
+        spk_emb_dim=SPK_DIM, dit_kwargs=DIT_KW,
+    ).eval()
+    with torch.no_grad():
+        for p in twin.parameters():
+            p.add_(0.05 * torch.randn_like(p))
+
+    model = GeDEXTTS(
+        n_vocab=N_VOCAB, n_feats=N_FEATS, n_spks=N_SPKS,
+        spk_emb_dim=SPK_DIM, enc_channels=C, enc_filter_channels=FFN,
+        enc_filter_channels_dp=DP, enc_heads=HEADS, enc_layers=LAYERS,
+        dec_dim=DIM, dec_dim_mults=(1, 2),
+        dit=DiTConfig(
+            patch_size=3, stride_size=2, hidden_size=32, depth=2,
+            num_heads=2, mlp_ratio=2.0, conv_pos=4, conv_pos_groups=2,
+        ),
+    )
+    state = {k: v.numpy() for k, v in twin.state_dict().items()}
+    variables = dex_tts_torch_to_flax(state, model)
+    return twin, model, variables
+
+
+def gedex_ref_sampler_fn(denoise_fn, latents, y_mask, mu_y, spk_vec):
+    """The actual reference sampler + preconditioner around the GeDEX twin
+    denoiser. The DEX and GeDEX edm.py are numerically identical (GeDEX
+    just drops the ref/sty kwargs), so the DEX module is reused with
+    ref/sty None (reference: GeDEX-TTS/model/edm.py:84-232)."""
+
+    class _Adapter(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.dfn = denoise_fn
+
+        def forward(self, x, mask, mu, c_noise, ref, ref_lengths, sty,
+                    sty_lengths, spk=None, mask_ratio=0):
+            if c_noise.numel() == 1:
+                c_noise = c_noise.reshape(1).expand(x.shape[0])
+            return self.dfn(x, mask, mu, c_noise, spk=spk)
+
+    precond = _ref_edm.EDMPrecond(_Adapter())
+    return _ref_edm.ablation_sampler(
+        net=precond, latents=latents, mask=y_mask, mu=mu_y, ref=None,
+        ref_lengths=None, sty=None, sty_lengths=None, spk=spk_vec,
+        num_steps=N_STEPS, solver="euler", discretization="edm",
+        schedule="linear", scaling="none",
+    )
+
+
+def test_full_graph_gedex_spk_parity():
+    twin, model, variables = build_gedex_pair()
+    rng = np.random.default_rng(1)
+
+    b, tx = 2, 9
+    x_ids = rng.integers(1, N_VOCAB, (b, tx)).astype(np.int64)
+    x_lengths = np.asarray([tx, 6], np.int64)
+    x_ids[1, 6:] = 0
+    spk = np.asarray([1, 3], np.int64)
+
+    # torch pre-pass — gives the y frame count for the static bucket
+    x_mask = torch.from_numpy(
+        (np.arange(tx)[None] < x_lengths[:, None]).astype(np.float32)
+    ).unsqueeze(1)
+    with torch.no_grad():
+        spk_vec = twin.spk_emb(torch.from_numpy(spk))
+        _, t_logw = twin.encoder(
+            torch.from_numpy(x_ids), x_mask, None, spk=spk_vec
+        )
+        w = torch.exp(t_logw) * x_mask
+        y_frames = int(
+            torch.clamp_min(torch.sum(torch.ceil(w), [1, 2]), 1).max()
+        )
+    y_max = int(fix_len_compatibility(y_frames))
+
+    noise = rng.standard_normal((b, N_FEATS, y_max)).astype(np.float32)
+
+    with torch.no_grad():
+        want_enc, want_dec, want_attn, want_ylen = twin.synthesize(
+            torch.from_numpy(x_ids),
+            torch.from_numpy(x_lengths),
+            torch.from_numpy(spk),
+            noise=torch.from_numpy(noise),
+            y_max_length=y_max,
+            sampler_fn=gedex_ref_sampler_fn,
+            temperature=TEMP,
+        )
+
+    got_enc, got_dec, got_attn, got_ylen = model.apply(
+        variables,
+        jax.random.PRNGKey(0),  # unused: latents_noise injected
+        jnp.asarray(x_ids.astype(np.int32)),
+        jnp.asarray(x_lengths.astype(np.int32)),
+        y_max_length=y_max,
+        sampler=SamplerConfig(num_steps=N_STEPS),
+        temperature=TEMP,
+        spk=jnp.asarray(spk.astype(np.int32)),
+        latents_noise=jnp.asarray(noise),
+        method=GeDEXTTS.synthesize,
+    )
+
+    np.testing.assert_array_equal(
+        np.asarray(got_ylen), want_ylen.numpy().astype(np.int32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_attn), want_attn.numpy(), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_enc), want_enc.numpy(), atol=5e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_dec), want_dec.numpy(), atol=2e-3, rtol=1e-2
+    )

@@ -604,10 +604,16 @@ class TextEncoderTwin(nn.Module):
     eval). Named to match the reference state_dict under `encoder.`."""
 
     def __init__(self, n_vocab, channels, heads, n_layers, ffn, n_feats,
-                 dp_channels, use_adaln):
+                 dp_channels, use_adaln, n_spks=1, spk_emb_dim=0):
         super().__init__()
         self.channels = channels
         self.heads = heads
+        self.n_spks = n_spks
+        # GeDEX (n_spks>1) concatenates the speaker vector after the
+        # prenet, so the RetNet stack runs at channels + spk_emb_dim
+        # (reference: GeDEX-TTS/model/text_encoder.py:119-129, 139-141)
+        width = channels + (spk_emb_dim if n_spks > 1 else 0)
+        self.width = width
         self.emb = nn.Embedding(n_vocab, channels)
         self.prenet = ConvReluNormTwin(channels)
 
@@ -615,24 +621,29 @@ class TextEncoderTwin(nn.Module):
             def __init__(self):
                 super().__init__()
                 self.layers = nn.ModuleList(
-                    [RetNetLayerTwin(channels, heads, ffn, use_adaln)
+                    [RetNetLayerTwin(width, heads, ffn, use_adaln)
                      for _ in range(n_layers)]
                 )
-                self.layer_norm = RMSNormTwin(channels)
+                self.layer_norm = RMSNormTwin(width)
 
         self.encoder = Inner()
-        self.proj_m = nn.Conv1d(channels, n_feats, 1)
-        self.proj_w = ProjectionTwin(channels, dp_channels, out=1)
+        self.proj_m = nn.Conv1d(width, n_feats, 1)
+        self.proj_w = ProjectionTwin(width, dp_channels, out=1)
 
-    def forward(self, x_ids, mask, sty):
-        """x_ids: (B, T) long; mask: (B, 1, T); sty: (B, C) or None."""
+    def forward(self, x_ids, mask, sty, spk=None):
+        """x_ids: (B, T) long; mask: (B, 1, T); sty: (B, C) or None;
+        spk (GeDEX): (B, spk_emb_dim) or None."""
         x = self.emb(x_ids) * math.sqrt(self.channels)
         x = x.transpose(1, 2)
         x = self.prenet(x, mask)
+        if self.n_spks > 1:
+            x = torch.cat(
+                [x, spk.unsqueeze(-1).repeat(1, 1, x.shape[-1])], dim=1
+            )
         h = x.transpose(1, 2)
 
         t = x_ids.shape[1]
-        key_dim = self.channels // self.heads
+        key_dim = self.width // self.heads
         angle = 1.0 / (
             10000 ** np.linspace(0, 1, key_dim // 2)
         )
@@ -894,5 +905,154 @@ class TTSTwin(nn.Module):
         dec_out = sampler_fn(
             self.decoder.denoise_fn, latents, y_mask, mu_y, ref_stats,
             sty_dec, sty_mask,
+        )
+        return mu_y * y_mask, dec_out * y_mask, attn, y_lengths
+
+
+class GeDEXDenoiserTwin(nn.Module):
+    """reference GeDEX DiffusionDenoiser twin (GeDEX-TTS/model/
+    diffusion.py:119-207), dim_mults=(1, 2): no style adaptors; with
+    n_spks>1 a spk_mlp projects the speaker vector to n_feats and stacks
+    it as a third input channel."""
+
+    def __init__(self, dim=8, n_feats=16, n_spks=1, spk_emb_dim=6,
+                 dit_kwargs=None):
+        super().__init__()
+        self.dim = dim
+        self.n_spks = n_spks
+        mid = dim * 2
+        self.mlp = nn.Sequential(
+            nn.Linear(dim, dim * 4), Mish(), nn.Linear(dim * 4, dim)
+        )
+        if n_spks > 1:
+            self.spk_mlp = nn.Sequential(
+                nn.Linear(spk_emb_dim, spk_emb_dim * 4), Mish(),
+                nn.Linear(spk_emb_dim * 4, n_feats),
+            )
+        in_ch = 2 + (1 if n_spks > 1 else 0)
+        self.downs = nn.ModuleList(
+            [
+                nn.ModuleList(
+                    [
+                        ResnetBlock(in_ch, dim, dim),
+                        ResnetBlock(dim, dim, dim),
+                        Residual(Rezero(LinearAttention(dim))),
+                        Downsample(dim),
+                    ]
+                ),
+                nn.ModuleList(
+                    [
+                        ResnetBlock(dim, mid, dim),
+                        ResnetBlock(mid, mid, dim),
+                        Residual(Rezero(LinearAttention(mid))),
+                        nn.Identity(),
+                    ]
+                ),
+            ]
+        )
+        self.vit = DiTTwin(mid, grid_h=(n_feats // 2) // 2,
+                           **(dit_kwargs or {}))
+        self.ups = nn.ModuleList(
+            [
+                nn.ModuleList(
+                    [
+                        ResnetBlock(mid * 2, dim, dim),
+                        ResnetBlock(dim, dim, dim),
+                        Residual(Rezero(LinearAttention(dim))),
+                        Upsample(dim),
+                    ]
+                )
+            ]
+        )
+        self.final_block = Block(dim, dim)
+        self.final_conv = nn.Conv2d(dim, 1, 1)
+
+    def forward(self, x, mask, mu, t, spk=None):
+        if self.n_spks < 2:
+            x = torch.stack([mu, x], 1)
+        else:
+            s = self.spk_mlp(spk)
+            s = s.unsqueeze(-1).repeat(1, 1, x.shape[-1])
+            x = torch.stack([mu, x, s], 1)
+        t_unet = self.mlp(sinusoidal_pos_emb(t, self.dim))
+        mask = mask.unsqueeze(1)
+
+        hiddens = []
+        masks = [mask]
+        for res1, res2, attn, down in self.downs:
+            m = masks[-1]
+            x = res1(x, m, t_unet)
+            x = res2(x, m, t_unet)
+            x = attn(x)
+            hiddens.append(x)
+            x = down(x * m)
+            masks.append(m[:, :, :, ::2])
+        masks = masks[:-1]
+        mask_mid = masks[-1]
+        x = self.vit(x, mask_mid, t)
+        for res1, res2, attn, up in self.ups:
+            m = masks.pop()
+            x = torch.cat((x, hiddens.pop()), dim=1)
+            x = res1(x, m, t_unet)
+            x = res2(x, m, t_unet)
+            x = attn(x)
+            x = up(x * m)
+        x = self.final_block(x, mask)
+        out = self.final_conv(x * mask)
+        return (out * mask).squeeze(1)
+
+
+class GeDEXTTSTwin(nn.Module):
+    """Facade-level twin of the reference GeDEX-TTS synthesis graph
+    (reference: GeDEX-TTS/model/tts.py:15-57) with reference state naming,
+    for end-to-end multi-speaker text-to-mel parity (spk embedding ->
+    encoder concat + denoiser third channel)."""
+
+    def __init__(self, n_vocab=30, n_feats=12, channels=16, heads=2,
+                 layers=2, ffn=24, dp_channels=10, dim=8, n_spks=4,
+                 spk_emb_dim=6, dit_kwargs=None):
+        super().__init__()
+        self.n_feats = n_feats
+        self.n_spks = n_spks
+        if n_spks > 1:
+            self.spk_emb = nn.Embedding(n_spks, spk_emb_dim)
+        self.encoder = TextEncoderTwin(
+            n_vocab, channels, heads, layers, ffn, n_feats, dp_channels,
+            use_adaln=False, n_spks=n_spks, spk_emb_dim=spk_emb_dim,
+        )
+
+        class _Dec(nn.Module):
+            def __init__(inner):
+                super().__init__()
+                inner.denoise_fn = GeDEXDenoiserTwin(
+                    dim=dim, n_feats=n_feats, n_spks=n_spks,
+                    spk_emb_dim=spk_emb_dim, dit_kwargs=dit_kwargs,
+                )
+
+        self.decoder = _Dec()
+
+    def synthesize(self, x_ids, x_lengths, spk, noise, y_max_length,
+                   sampler_fn, temperature=1.5, length_scale=1.0):
+        """reference: GeDEX-TTS/model/tts.py:27-57; sampler_fn(denoise_fn,
+        latents, mask, mu, spk_vec) -> mel (injected so the test can use
+        the actual reference ablation_sampler)."""
+        spk_vec = self.spk_emb(spk) if self.n_spks > 1 else None
+        x_mask = torch_sequence_mask(x_lengths, x_ids.size(1)).unsqueeze(1)
+        mu_x, logw = self.encoder(x_ids, x_mask, None, spk=spk_vec)
+
+        w = torch.exp(logw) * x_mask
+        w_ceil = torch.ceil(w) * length_scale
+        y_lengths = torch.clamp_min(torch.sum(w_ceil, [1, 2]), 1).long()
+
+        y_mask = torch_sequence_mask(y_lengths, y_max_length).unsqueeze(1)
+        attn_mask = x_mask.unsqueeze(-1) * y_mask.unsqueeze(2)
+        attn = torch_generate_path(w_ceil.squeeze(1), attn_mask.squeeze(1))
+
+        mu_y = torch.matmul(attn.transpose(1, 2), mu_x.transpose(1, 2))
+        mu_y = mu_y.transpose(1, 2)  # (B, F, Ty)
+
+        latents = noise / temperature + mu_y
+        dec_out = sampler_fn(
+            self.decoder.denoise_fn, latents, y_mask, mu_y, spk_vec
         )
         return mu_y * y_mask, dec_out * y_mask, attn, y_lengths
