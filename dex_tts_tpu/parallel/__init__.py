@@ -5,6 +5,7 @@ from dex_tts_tpu.parallel.mesh import (
     shard_batch,
 )
 from dex_tts_tpu.parallel.runtime import assemble_global_batch, initialize
+from dex_tts_tpu.parallel.tp import shard_count, tp_state_shardings
 
 __all__ = [
     "assemble_global_batch",
@@ -13,4 +14,6 @@ __all__ = [
     "shard_batch",
     "replicate_state",
     "make_parallel_train_step",
+    "shard_count",
+    "tp_state_shardings",
 ]

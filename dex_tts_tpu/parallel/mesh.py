@@ -60,10 +60,19 @@ def replicate_state(state, mesh: Mesh):
     return jax.device_put(state, replicated)
 
 
-def make_parallel_train_step(train_step, mesh: Mesh, donate: bool = True):
-    """jit the pure train step with dp-sharded batch inputs and replicated
-    state: XLA derives the gradient all-reduce automatically."""
-    replicated = NamedSharding(mesh, P())
+def make_parallel_train_step(
+    train_step, mesh: Mesh, donate: bool = True, state_shardings=None
+):
+    """jit the pure train step with dp-sharded batch inputs: XLA derives
+    the gradient all-reduce automatically.
+
+    state_shardings: optional per-leaf NamedSharding pytree for the
+    TrainState (see parallel.tp.tp_state_shardings) — the new state is
+    constrained back to the same placement so params/EMA/moments stay
+    tp-sharded step over step. Default: fully replicated state (pure DP).
+    """
+    if state_shardings is None:
+        state_shardings = NamedSharding(mesh, P())
 
     def batch_spec(batch):
         return {
@@ -75,7 +84,9 @@ def make_parallel_train_step(train_step, mesh: Mesh, donate: bool = True):
     def step(state, batch):
         batch = jax.lax.with_sharding_constraint(batch, batch_spec(batch))
         new_state, metrics = train_step(state, batch)
-        new_state = jax.lax.with_sharding_constraint(new_state, replicated)
+        new_state = jax.lax.with_sharding_constraint(
+            new_state, state_shardings
+        )
         return new_state, metrics
 
     return step

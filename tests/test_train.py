@@ -106,6 +106,48 @@ def test_data_parallel_matches_single_device(model_state):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-5)
 
 
+def test_tensor_parallel_matches_single_device(model_state):
+    """dp=4 x tp=2: Megatron-style column/row param sharding (parallel/tp.py)
+    must reproduce the single-device step numerics — XLA SPMD inserts the
+    collectives."""
+    from jax.sharding import PartitionSpec as P
+
+    from dex_tts_tpu.parallel import shard_count, tp_state_shardings
+
+    model, state, tx = model_state
+    mesh = make_mesh(8, tp_size=2)
+    step_fn = make_train_step(model, tx, out_size=16, ema_decay=0.99)
+
+    batch = tiny_batch(8)
+    s1, m1 = jax.jit(step_fn)(state, batch)
+
+    shardings = tp_state_shardings(state, mesh)
+    assert shard_count(shardings) > 0
+    pstate = jax.device_put(state, shardings)
+    fc1 = pstate.params["encoder"]["encoder"]["layer_0"]["ffn"]["fc1"]["kernel"]
+    assert fc1.sharding.spec == P(None, "tp")  # actually split, not replicated
+
+    pbatch = shard_batch(batch, mesh)
+    pstep = make_parallel_train_step(
+        step_fn, mesh, donate=False, state_shardings=shardings
+    )
+    s8, m8 = pstep(pstate, pbatch)
+
+    assert np.isclose(float(m1["total_loss"]), float(m8["total_loss"]), rtol=1e-4)
+    # updated params match, including a tp-sharded leaf gathered back
+    np.testing.assert_allclose(
+        np.asarray(s8.params["encoder"]["encoder"]["layer_0"]["ffn"]["fc1"]["kernel"]),
+        np.asarray(s1.params["encoder"]["encoder"]["layer_0"]["ffn"]["fc1"]["kernel"]),
+        atol=1e-5,
+    )
+    p1 = jax.tree.leaves(s1.params)[0]
+    p8 = jax.tree.leaves(s8.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-5)
+    # the new state kept its tp placement (no silent re-replication)
+    fc1_new = s8.params["encoder"]["encoder"]["layer_0"]["ffn"]["fc1"]["kernel"]
+    assert fc1_new.sharding.spec == P(None, "tp")
+
+
 def make_fake_dataset(root, n_items=10, n_mels=16):
     rng = np.random.default_rng(0)
     mel_dir = os.path.join(root, "mel")
