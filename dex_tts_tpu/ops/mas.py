@@ -21,13 +21,21 @@ additionally records one "diagonal-beats-stay" bit per cell, and the
 backtrace replays those bits with a one-hot token vector (dot products
 instead of per-item gathers). Batch is vectorized across VPU sublanes;
 the grid splits the batch only when the (Ty, Bb, Tx) blocks would not
-fit VMEM. ~10x the scan form on v5e at training shapes (measured,
-scripts/perf_mas.py).
+fit VMEM. Measured on v5e (scripts/perf_mas.py, CLAUDE.md): standalone
+~13 ms scan vs ~10 ms pallas net of dispatch; inside the full train step
+the two are indistinguishable (MAS is ~2 ms of a ~200 ms step) — the
+kernel's value is removing the XLA scan-loop overhead and per-step HBM
+traffic, not an order-of-magnitude win at these shapes.
 
-`maximum_path` dispatches: pallas on TPU, scan elsewhere (override with
-`set_mas_backend`). Both match the Cython kernel's recurrence exactly on
-all cells a valid path can visit, and keep alignment on the TPU (no host
-sync).
+`maximum_path` dispatches: pallas on single-device TPU, scan elsewhere
+(override with `set_mas_backend`). The scan form is used whenever more
+than one device is visible because `pallas_call` carries no GSPMD
+partitioning rule — under a dp-sharded train step XLA would have to
+replicate the custom call (all-gathering the whole (B, Tx, Ty) prior per
+chip) or fail to partition it; the scan form partitions cleanly and is
+equally fast in-step. Both match the Cython kernel's recurrence exactly
+on all cells a valid path can visit, and keep alignment on the TPU (no
+host sync).
 """
 
 from __future__ import annotations
@@ -60,7 +68,12 @@ def maximum_path(value: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """
     backend = _BACKEND
     if backend is None:
-        backend = "pallas" if jax.default_backend() == "tpu" else "scan"
+        # pallas only on a single-device TPU: pallas_call has no GSPMD
+        # partitioning rule, so under a multi-chip sharded step it would
+        # replicate (all-gather the whole prior) — scan partitions cleanly
+        # and is just as fast inside the train step (module docstring)
+        single = jax.device_count() == 1
+        backend = "pallas" if (jax.default_backend() == "tpu" and single) else "scan"
     if backend == "pallas":
         return maximum_path_pallas(value, mask)
     return maximum_path_scan(value, mask)

@@ -50,12 +50,20 @@ class MicroBatcher:
         self.batch_sizes: list[int] = []  # observability / tests
         self._q: queue.Queue = queue.Queue()
         self._stop = threading.Event()
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
     def submit(self, text: str) -> Future:
+        """Enqueue one sentence. After close() the future fails fast
+        instead of dangling for the full client timeout (the lock closes
+        the check-then-enqueue race against close())."""
         fut: Future = Future()
-        self._q.put((text, fut))
+        with self._submit_lock:
+            if self._stop.is_set():
+                fut.set_exception(RuntimeError("server shutting down"))
+                return fut
+            self._q.put((text, fut))
         return fut
 
     def close(self):
@@ -63,9 +71,11 @@ class MicroBatcher:
 
         The batch being collected when the stop lands is still served
         (`_collect` returns it on the wake sentinel); anything queued
-        after that gets a fast error instead of a 600 s future timeout.
+        after that gets a fast error instead of a 600 s future timeout,
+        and later submit() calls fail fast (see submit).
         """
-        self._stop.set()
+        with self._submit_lock:
+            self._stop.set()
         self._q.put(None)  # wake the worker
         self._worker.join(timeout=5)
         while True:

@@ -229,7 +229,15 @@ def train(args):
             parallel.replicate_state(restored, mesh) if mesh else restored
         )
         print(f"resumed from step {int(trainer.state.step)}")
-    trainer.fit(train_loader_fn, valid_loader_fn, epochs=int(cfg.train.epoch))
+    try:
+        trainer.fit(
+            train_loader_fn, valid_loader_fn, epochs=int(cfg.train.epoch)
+        )
+    finally:
+        # give SIGINT/SIGTERM back to the previous handlers: only fit()
+        # polls the guard, and in-process callers (tests, notebooks) must
+        # keep a working Ctrl-C after train() returns
+        guard.restore()
 
 
 def test(args):

@@ -94,8 +94,11 @@ def main():
     value, mask = make_inputs(args.batch, args.tx, args.ty)
     it = args.iters
 
-    base = timed(jax.jit(mas.maximum_path), value, mask, iters=it)
-    print(f"maximum_path (scan):   {base*1e3:8.2f} ms", flush=True)
+    # explicitly the scan form: mas.maximum_path auto-dispatches to the
+    # pallas kernel on single-device TPU, which would benchmark pallas
+    # against itself
+    base = timed(jax.jit(mas.maximum_path_scan), value, mask, iters=it)
+    print(f"maximum_path_scan:     {base*1e3:8.2f} ms", flush=True)
 
     fwd = timed(jax.jit(forward_only), value, mask, iters=it)
     print(f"forward scan only:     {fwd*1e3:8.2f} ms "
@@ -103,7 +106,7 @@ def main():
 
     if hasattr(mas, "maximum_path_pallas"):
         pk = timed(jax.jit(mas.maximum_path_pallas), value, mask, iters=it)
-        ref = jax.jit(mas.maximum_path)(value, mask)
+        ref = jax.jit(mas.maximum_path_scan)(value, mask)
         got = jax.jit(mas.maximum_path_pallas)(value, mask)
         same = bool(jnp.all(ref == got))
         print(f"pallas wavefront:      {pk*1e3:8.2f} ms "

@@ -161,29 +161,36 @@ def main():
     # add a ~30 ms device round-trip per step on the remote-TPU link
     start = int(state.step)
     t0, last_log = time.time(), start
-    for i, batch in enumerate(data.batches(args.batch, args.steps - start), 1):
-        if guard.triggered:
-            print("preempted: saving checkpoint and exiting", flush=True)
-            break
-        state, metrics = step_fn(state, batch)
-        n = start + i
-        if n % args.log_every == 0:
-            m = {k: float(v) for k, v in metrics.items()}
-            dt = time.time() - t0
-            rate = (n - last_log) / dt if dt > 0 else 0.0
-            print(json.dumps({"step": n, "steps_per_sec": round(rate, 3),
-                              **{k: round(v, 4) for k, v in m.items()}}),
-                  flush=True)
-            t0, last_log = time.time(), n
-        if n % args.save_every == 0:
-            ckpt.save(state, "last")
-            ckpt.save(state, f"step_{n}")
-            # serving handoff: raw generator params, restorable by
-            # eval.load_vocoder via path.vocoder_path = ckpt_dir
-            ckpt.save(state.gen_params, "gen_last")
-    ckpt.save(state, "last")
-    ckpt.save(state.gen_params, "gen_last")
-    print(f"done at step {int(state.step)}")
+    try:
+        for i, batch in enumerate(
+            data.batches(args.batch, args.steps - start), 1
+        ):
+            if guard.triggered:
+                print("preempted: saving checkpoint and exiting", flush=True)
+                # same tag contract as Trainer.fit (train/preemption.py)
+                ckpt.save(state, "preempt")
+                break
+            state, metrics = step_fn(state, batch)
+            n = start + i
+            if n % args.log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t0
+                rate = (n - last_log) / dt if dt > 0 else 0.0
+                print(json.dumps({"step": n, "steps_per_sec": round(rate, 3),
+                                  **{k: round(v, 4) for k, v in m.items()}}),
+                      flush=True)
+                t0, last_log = time.time(), n
+            if n % args.save_every == 0:
+                ckpt.save(state, "last")
+                ckpt.save(state, f"step_{n}")
+                # serving handoff: raw generator params, restorable by
+                # eval.load_vocoder via path.vocoder_path = ckpt_dir
+                ckpt.save(state.gen_params, "gen_last")
+        ckpt.save(state, "last")
+        ckpt.save(state.gen_params, "gen_last")
+        print(f"done at step {int(state.step)}")
+    finally:
+        guard.restore()  # keep Ctrl-C working for in-process callers
 
 
 if __name__ == "__main__":
