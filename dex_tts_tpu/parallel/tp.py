@@ -87,9 +87,11 @@ def partition_spec(path_str: str, leaf, tp_size: int) -> P:
 
 
 def tp_state_shardings(state, mesh: Mesh):
-    """Per-leaf NamedSharding pytree for a TrainState (params, EMA and the
-    Adam mu/nu moments all contain the param subtree, so the same path
-    rules shard them identically; everything else replicates)."""
+    """Per-leaf NamedSharding pytree for any param-bearing pytree: a
+    TrainState (params, EMA and the Adam mu/nu moments all contain the
+    param subtree, so the same path rules shard them identically), or a
+    bare flax `variables` dict for serving-time TP (pipeline.Synthesizer).
+    Non-matching leaves replicate."""
     tp_size = mesh.shape["tp"]
 
     def leaf_sharding(path, leaf):

@@ -108,13 +108,25 @@ class Synthesizer:
     # be swapped (e.g. per train epoch) without recompiling any cached graph.
 
     def set_variables(self, variables) -> None:
-        """Swap model weights; compiled bucket graphs are reused."""
+        """Swap model weights; compiled bucket graphs are reused.
+
+        With a mesh whose 'tp' axis is >1, the RetNet/DiT matmul params are
+        tensor-parallel-sharded over it (parallel/tp.py rules) — XLA SPMD
+        splits those matmuls across chips inside every bucket graph;
+        everything else replicates."""
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            variables = jax.device_put(
-                variables, NamedSharding(self.mesh, P())
-            )
+            if self.mesh.shape.get("tp", 1) > 1:
+                from dex_tts_tpu.parallel import tp_state_shardings
+
+                variables = jax.device_put(
+                    variables, tp_state_shardings(variables, self.mesh)
+                )
+            else:
+                variables = jax.device_put(
+                    variables, NamedSharding(self.mesh, P())
+                )
         self.variables = variables
 
     def _place(self, inputs: dict) -> dict:

@@ -214,3 +214,32 @@ def test_tts_data_parallel_mesh_matches_single(synthesizer):
     for a, b in zip(got, base):
         assert a["n_frames"] == b["n_frames"]
         np.testing.assert_allclose(a["mel"], b["mel"], atol=2e-5)
+
+
+def test_tts_tensor_parallel_mesh_matches_single(synthesizer):
+    """Serving TP: dp2 x tp2 mesh tensor-parallel-shards the RetNet/DiT
+    matmul params (parallel/tp.py via set_variables) and must reproduce the
+    single-device wavs."""
+    from jax.sharding import PartitionSpec as P
+
+    from dex_tts_tpu.parallel import make_mesh
+
+    texts = ["one", "two", "three", "four"]  # batch 4 over dp=2
+    base = synthesizer.tts(texts, key=jax.random.PRNGKey(5))
+
+    tp = Synthesizer(
+        synthesizer.model, synthesizer.variables,
+        vocoder=synthesizer.vocoder,
+        vocoder_params=synthesizer.vocoder_params,
+        sampler=SamplerConfig(num_steps=2), x_quantum=8, y_quantum=16,
+        mesh=make_mesh(4, tp_size=2),
+    )
+    fc1 = tp.variables["params"]["encoder"]["encoder"]["layer_0"]["ffn"][
+        "fc1"
+    ]["kernel"]
+    assert fc1.sharding.spec == P(None, "tp")  # actually split
+    got = tp.tts(texts, key=jax.random.PRNGKey(5))
+    assert len(got) == len(base)
+    for a, b in zip(got, base):
+        assert a["n_frames"] == b["n_frames"]
+        np.testing.assert_allclose(a["mel"], b["mel"], atol=2e-5)
