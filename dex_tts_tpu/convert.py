@@ -512,13 +512,18 @@ def _projection_dp(state, name):
     return _projection(state, name)
 
 
-def load_torch_checkpoint(path: str) -> dict:
+def load_torch_checkpoint(path: str, key: str | None = None) -> dict:
     """Load a .pth/.pth.tar/.pth.tar.zip file into a {name: np.ndarray} dict.
 
     Handles the distribution formats the reference points users at
     (reference: DEX-TTS/src/utils.py:251-281): a torch-serialized file
     (zip-format or legacy pickle) or a *plain* zip archive wrapping one
     (e.g. ``generator_universal.pth.tar.zip`` from the HiFi-GAN release).
+
+    key: select a specific sub-dict of a trainer checkpoint instead of the
+    auto-unwrap — e.g. "ema" for the EMA weights of a reference TTS
+    checkpoint {'scores','state_dict','ema','optimizer'}
+    (reference: DEX-TTS/src/train.py:112-122).
     """
     import torch
 
@@ -548,8 +553,11 @@ def load_torch_checkpoint(path: str) -> dict:
                     ckpt = _load_file(zf.extract(inner, td))
                 except Exception:
                     raise first_exc  # wrapper theory wrong: original error
-    if isinstance(ckpt, dict) and "generator" in ckpt:
-        ckpt = ckpt["generator"]
-    if isinstance(ckpt, dict) and "state_dict" in ckpt:
-        ckpt = ckpt["state_dict"]
+    if key is not None:
+        ckpt = ckpt[key]
+    else:
+        if isinstance(ckpt, dict) and "generator" in ckpt:
+            ckpt = ckpt["generator"]
+        if isinstance(ckpt, dict) and "state_dict" in ckpt:
+            ckpt = ckpt["state_dict"]
     return {k: v.numpy() for k, v in ckpt.items() if hasattr(v, "numpy")}

@@ -144,6 +144,24 @@ def load_vocoder(cfg):
     return voc, params
 
 
+def _find_torch_tts_checkpoint(exp_dir: str, tag: str) -> str | None:
+    """Locate a reference-format torch TTS checkpoint for a tag.
+
+    Migration path: a user coming from the reference can point our CLIs
+    straight at their trained experiment dir (or a .pth file); naming per
+    reference DEX-TTS/src/train.py:112-122 (model-{train,val}-best.pth,
+    model-last.pth, model-{epoch}.pth)."""
+    if os.path.isfile(exp_dir):
+        return exp_dir
+    names = {
+        "best-train": "model-train-best.pth",
+        "best-val": "model-val-best.pth",
+        "last": "model-last.pth",
+    }
+    cand = os.path.join(exp_dir, names.get(tag, f"model-{tag}.pth"))
+    return cand if os.path.isfile(cand) else None
+
+
 def load_synthesizer(cfg, exp_dir: str, n_timesteps: int = 50, tag: str = "best-train"):
     model = build_model(cfg)
     ds = TextMelDataset(
@@ -170,15 +188,34 @@ def load_synthesizer(cfg, exp_dir: str, n_timesteps: int = 50, tag: str = "best-
             lf0=init_batch_src["lf0"][None],
             lf0_lengths=np.asarray([len(init_batch_src["lf0"])], np.int32),
         )
-    state, _ = create_train_state(model, batch)
-    mgr = CheckpointManager(os.path.join(exp_dir, "ckpt"))
-    state = mgr.restore(state, tag)
     use_ema = bool(cfg.get("test", {}).get("ema", False))
-    variables = {
-        "params": state.ema_params if use_ema else state.params,
-        "batch_stats": state.batch_stats,
-        "vq_stats": state.vq_stats,
-    }
+    torch_ckpt = (
+        None
+        if os.path.isdir(os.path.join(exp_dir, "ckpt"))  # native orbax wins
+        else _find_torch_tts_checkpoint(exp_dir, tag)
+    )
+    if torch_ckpt is not None:
+        # reference-trained weights, converted on the fly (convert.py)
+        from dex_tts_tpu.convert import (
+            dex_tts_torch_to_flax,
+            load_torch_checkpoint,
+        )
+
+        state_dict = load_torch_checkpoint(
+            torch_ckpt, key="ema" if use_ema else "state_dict"
+        )
+        variables = dict(dex_tts_torch_to_flax(state_dict, model))
+        variables.setdefault("batch_stats", {})
+        variables.setdefault("vq_stats", {})
+    else:
+        state, _ = create_train_state(model, batch)
+        mgr = CheckpointManager(os.path.join(exp_dir, "ckpt"))
+        state = mgr.restore(state, tag)
+        variables = {
+            "params": state.ema_params if use_ema else state.params,
+            "batch_stats": state.batch_stats,
+            "vq_stats": state.vq_stats,
+        }
     voc, voc_params = load_vocoder(cfg)
     return Synthesizer(
         model,

@@ -7,6 +7,7 @@ import os
 import sys
 import types
 
+import jax
 import numpy as np
 import pytest
 
@@ -203,3 +204,56 @@ def test_synthesize_cli_end_to_end(tmp_path, monkeypatch):
 
     wav, sr = read_wav(wav_path)
     assert sr == 22050 and len(wav) > 0 and np.isfinite(wav).all()
+
+
+def test_load_synthesizer_from_reference_torch_checkpoint(tmp_path):
+    """Migration path: point load_synthesizer at a reference-format
+    experiment dir (model-train-best.pth, dict
+    {'scores','state_dict','ema','optimizer'} — reference:
+    DEX-TTS/src/train.py:112-122) and synthesize without any orbax
+    checkpoint; test.ema selects the 'ema' weights."""
+    import torch
+
+    from dex_tts_tpu.eval.evaluation import load_synthesizer
+    from tests.torch_twins import GeDEXTTSTwin
+
+    root = str(tmp_path)
+    make_corpus(root)
+    cfg = tiny_cfg(root, "gedex")
+
+    torch.manual_seed(0)
+    twin = GeDEXTTSTwin(
+        n_vocab=149, n_feats=16, channels=24, heads=2, layers=1, ffn=32,
+        dp_channels=16, dim=8, n_spks=1, spk_emb_dim=8,
+        dit_kwargs=dict(patch=3, stride=2, hidden=16, depth=1, num_heads=2,
+                        mlp_ratio=2.0, conv_pos=4, conv_pos_groups=2),
+    )
+    state_dict = twin.state_dict()
+    ema = {k: v + 0.01 for k, v in state_dict.items()}
+    exp_dir = str(tmp_path / "torch_exp")
+    os.makedirs(exp_dir)
+    torch.save(
+        {"scores": [0.0], "state_dict": state_dict, "ema": ema,
+         "optimizer": {}},
+        os.path.join(exp_dir, "model-train-best.pth"),
+    )
+
+    synth, _ = load_synthesizer(cfg, exp_dir, n_timesteps=2)
+    emb = np.asarray(synth.variables["params"]["encoder"]["emb"]["embedding"])
+    np.testing.assert_allclose(emb, state_dict["encoder.emb.weight"].numpy())
+    out = synth.tts(["migrated weights"], key=jax.random.PRNGKey(0),
+                    vocode=False)
+    assert np.isfinite(out[0]["mel"]).all()
+
+    cfg.test.ema = True
+    synth_ema, _ = load_synthesizer(cfg, exp_dir, n_timesteps=2)
+    emb_ema = np.asarray(
+        synth_ema.variables["params"]["encoder"]["emb"]["embedding"]
+    )
+    np.testing.assert_allclose(emb_ema, emb + 0.01, atol=1e-6)
+
+    # a bare .pth path works too
+    synth2, _ = load_synthesizer(
+        cfg, os.path.join(exp_dir, "model-train-best.pth"), n_timesteps=2
+    )
+    assert synth2 is not None
