@@ -246,3 +246,106 @@ def test_sinusoidal_pos_emb_matches_reference_formula():
     want = np.concatenate([np.sin(args), np.cos(args)], axis=-1)
     got = np.asarray(SinusoidalPosEmb(dim)(jnp.asarray(t)))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "use_softmax,use_decay", [(True, True), (False, False), (False, True)]
+)
+def test_retention_variant_modes_match_torch_twin(use_softmax, use_decay):
+    """The non-default retention modes: exponential per-head decay mask
+    (use_decay — reference retention.py:141-147 parallel branch, including
+    its sqrt row normalization and padding nan handling) and the
+    sum-normalized non-softmax weighting (use_softmax=False — reference
+    retention.py:238: scores / clamp(|detach(row sum)|, 1)). Every
+    reference config runs softmax+no-decay; these paths are API-present
+    there and working here."""
+    from dex_tts_tpu.models.retention import (
+        MultiScaleRetention,
+        RetNetEncoderConfig,
+        rel_pos,
+    )
+
+    b, t, d, h = 2, 9, 16, 2
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((b, t, d)).astype(np.float32)
+    lengths = np.asarray([9, 6])
+    rm = (np.arange(t)[None, :] < lengths[:, None]).astype(np.float32)
+
+    cfg = RetNetEncoderConfig(
+        embed_dim=d, value_dim=d, num_heads=h,
+        use_softmax=use_softmax, use_decay=use_decay,
+    )
+    m = MultiScaleRetention(cfg)
+    sin, cos, dmask = rel_pos(cfg, t, jnp.asarray(rm))
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x), sin, cos, dmask)
+    got = np.asarray(
+        m.apply(variables, jnp.asarray(x), sin, cos, dmask, train=False)
+    )
+
+    # ---- torch twin of the same formulas ----
+    p = variables["params"]
+    key_dim = d // h
+
+    def rot(v):
+        v1, v2 = v[..., ::2], v[..., 1::2]
+        return torch.stack((-v2, v1), dim=-1).flatten(-2)
+
+    angle = 1.0 / (10000 ** np.linspace(0, 1, key_dim // 2))
+    angle = np.repeat(angle, 2)
+    idx = np.arange(t)
+    sin_t = torch.from_numpy(
+        np.sin(idx[:, None] * angle[None, :]).astype(np.float32)
+    )
+    cos_t = torch.from_numpy(
+        np.cos(idx[:, None] * angle[None, :]).astype(np.float32)
+    )
+
+    # decay mask, reference RetNetRelPos parallel branch (retention_mask
+    # arrives as (B, 1, T) from retnet.py, so the unsqueeze pair builds the
+    # full (B, 1, T, T) outer product)
+    rm_t = torch.from_numpy(rm).unsqueeze(1)  # (B, 1, T)
+    mask2d = rm_t.unsqueeze(2) * rm_t.unsqueeze(-1)  # (B, 1, T, T)
+    if use_decay:
+        decay = torch.log(1 - 2 ** (-5 - torch.arange(h, dtype=torch.float)))
+        diff = torch.from_numpy(
+            (idx[:, None] - idx[None, :]).astype(np.float32)
+        )
+        dm = torch.masked_fill(
+            diff.expand(b, 1, t, t).clone(), ~mask2d.bool(), float("inf")
+        )
+        dm = torch.exp(dm * decay.view(1, -1, 1, 1))
+        dm = torch.nan_to_num(dm)
+        dm = dm / dm.sum(dim=-1, keepdim=True).sqrt()
+        dm = torch.nan_to_num(dm, nan=0.0)
+    else:
+        dm = mask2d.expand(b, h, t, t)
+    np.testing.assert_allclose(np.asarray(dmask), dm.numpy(), atol=1e-6)
+
+    xt = torch.from_numpy(x)
+    wq = torch.from_numpy(np.asarray(p["q_proj"]["kernel"])).T
+    wk = torch.from_numpy(np.asarray(p["k_proj"]["kernel"])).T
+    wv = torch.from_numpy(np.asarray(p["v_proj"]["kernel"])).T
+    wg = torch.from_numpy(np.asarray(p["g_proj"]["kernel"])).T
+    wo = torch.from_numpy(np.asarray(p["out_proj"]["kernel"])).T
+
+    q = (xt @ wq.T).view(b, t, h, key_dim).transpose(1, 2)
+    k = (xt @ wk.T).view(b, t, h, key_dim).transpose(1, 2) * key_dim**-0.5
+    v = (xt @ wv.T).view(b, t, h, key_dim).transpose(1, 2)
+    g = xt @ wg.T
+    qr = q * cos_t + rot(q) * sin_t
+    kr = k * cos_t + rot(k) * sin_t
+    scores = (qr @ kr.transpose(-1, -2)) * dm
+    if use_softmax:
+        scores = scores.masked_fill(dm == 0, -1e4)
+        weights = torch.softmax(scores, dim=-1)
+    else:
+        weights = scores / scores.detach().sum(
+            dim=-1, keepdim=True
+        ).abs().clamp(min=1)
+    out = (weights @ v).transpose(1, 2)
+    rmsn = out * torch.rsqrt(out.pow(2).mean(-1, keepdim=True) + 1e-6)
+    merged = rmsn.reshape(b, t, d)
+    gated = torch.nn.functional.silu(g) * merged
+    want = (gated @ wo.T).detach().numpy()
+
+    np.testing.assert_allclose(got, want, atol=2e-4)
