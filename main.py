@@ -38,7 +38,44 @@ def parse_args():
     p.add_argument("--compile_cache", default=None, metavar="DIR",
                    help="persistent XLA compile cache dir (TPU only): "
                         "restarts/resumes skip recompiling each bucket")
+    p.add_argument("--init_from", default=None, metavar="PATH",
+                   help="warm-start params/EMA from a reference-format "
+                        "torch checkpoint (.pth file or reference "
+                        "experiment dir); optimizer state starts fresh")
     return p.parse_args()
+
+
+def warm_start_state(state, model, path: str):
+    """Replace params/EMA (+ BN/VQ collections) in a fresh TrainState with
+    weights converted from a reference torch checkpoint — fine-tune
+    reference-trained models on TPU without a conversion step.
+    reference checkpoint format: DEX-TTS/src/train.py:112-122."""
+    from dex_tts_tpu.convert import dex_tts_torch_to_flax, load_torch_checkpoint
+    from dex_tts_tpu.eval.evaluation import _find_torch_tts_checkpoint
+
+    resolved = None
+    for tag in ("best-train", "best-val", "last"):
+        resolved = _find_torch_tts_checkpoint(path, tag)
+        if resolved:
+            break
+    assert resolved, f"no reference checkpoint found at {path}"
+    try:
+        sd = load_torch_checkpoint(resolved, key="state_dict")
+    except KeyError:  # bare state_dict file
+        sd = load_torch_checkpoint(resolved)
+    variables = dex_tts_torch_to_flax(sd, model)
+    try:
+        ema_sd = load_torch_checkpoint(resolved, key="ema")
+        ema_params = dex_tts_torch_to_flax(ema_sd, model)["params"]
+    except KeyError:
+        ema_params = variables["params"]
+    print(f"warm start from {resolved}")
+    return state.replace(
+        params=variables["params"],
+        ema_params=ema_params,
+        batch_stats=variables.get("batch_stats", state.batch_stats),
+        vq_stats=variables.get("vq_stats", state.vq_stats),
+    )
 
 
 def make_loaders(cfg, args, process_count: int = 1, process_index: int = 0):
@@ -199,6 +236,8 @@ def train(args):
         max_grad=float(cfg.train.get("max_grad", 1.0)),
         out_size=out_size,
     )
+    if getattr(args, "init_from", None):
+        state = warm_start_state(state, model, args.init_from)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
     print(f"model params: {n_params / 1e6:.2f} M | out_size: {out_size}")
 

@@ -257,3 +257,66 @@ def test_load_synthesizer_from_reference_torch_checkpoint(tmp_path):
         cfg, os.path.join(exp_dir, "model-train-best.pth"), n_timesteps=2
     )
     assert synth2 is not None
+
+
+def test_train_warm_start_from_torch_checkpoint(tmp_path):
+    """--init_from: fine-tuning a reference-trained torch checkpoint —
+    params/EMA convert into the fresh TrainState (optimizer fresh), and
+    main.py train runs on top of them."""
+    import torch
+
+    from tests.torch_twins import GeDEXTTSTwin
+
+    main_mod = _load_main()
+    root = make_corpus(str(tmp_path))
+    cfg = tiny_cfg(root, "gedex")
+    cfg.train.epoch = 1
+    cfg_path = os.path.join(root, "cfg.yaml")
+    cfg.dump(cfg_path)
+
+    torch.manual_seed(0)
+    twin = GeDEXTTSTwin(
+        n_vocab=149, n_feats=16, channels=24, heads=2, layers=1, ffn=32,
+        dp_channels=16, dim=8, n_spks=1, spk_emb_dim=8,
+        dit_kwargs=dict(patch=3, stride=2, hidden=16, depth=1, num_heads=2,
+                        mlp_ratio=2.0, conv_pos=4, conv_pos_groups=2),
+    )
+    ref_exp = str(tmp_path / "ref_exp")
+    os.makedirs(ref_exp)
+    sd = twin.state_dict()
+    ema = {k: v + 0.5 for k, v in sd.items()}
+    torch.save(
+        {"scores": [0.0], "state_dict": sd, "ema": ema, "optimizer": {}},
+        os.path.join(ref_exp, "model-last.pth"),
+    )
+
+    # unit: converted params and (distinct) EMA land in the state
+    from dex_tts_tpu.config import build_model
+    from dex_tts_tpu.data import TextMelDataset
+    from dex_tts_tpu.train import create_train_state
+
+    model = build_model(cfg)
+    ds = TextMelDataset(cfg.path.val_path, add_blank=True, load_style=False)
+    item = ds[0]
+    batch = {
+        "x": item["x"][None],
+        "x_lengths": np.asarray([len(item["x"])], np.int32),
+        "y": item["y"][None],
+        "y_lengths": np.asarray([item["y"].shape[1]], np.int32),
+    }
+    state, _ = create_train_state(model, batch)
+    state = main_mod.warm_start_state(state, model, ref_exp)
+    emb = np.asarray(state.params["encoder"]["emb"]["embedding"])
+    np.testing.assert_allclose(emb, sd["encoder.emb.weight"].numpy())
+    emb_ema = np.asarray(state.ema_params["encoder"]["emb"]["embedding"])
+    np.testing.assert_allclose(emb_ema, emb + 0.5, atol=1e-6)
+
+    # smoke: a full training epoch on top of the warm start
+    args = types.SimpleNamespace(
+        config=cfg_path, seed=100, n_timesteps=2, resume=False, tag=None,
+        test_checkpoint=None, test_file=None, sample_size=2, n_devices=None,
+        init_from=ref_exp,
+    )
+    main_mod.train(args)
+    exp_dir = os.path.join(cfg.checkpoint, os.listdir(cfg.checkpoint)[0])
+    assert os.path.isdir(os.path.join(exp_dir, "ckpt", "last"))
