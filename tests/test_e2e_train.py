@@ -320,3 +320,49 @@ def test_train_warm_start_from_torch_checkpoint(tmp_path):
     main_mod.train(args)
     exp_dir = os.path.join(cfg.checkpoint, os.listdir(cfg.checkpoint)[0])
     assert os.path.isdir(os.path.join(exp_dir, "ckpt", "last"))
+
+
+def test_load_synthesizer_from_torch_checkpoint_dex(tmp_path):
+    """DEX variant of the torch-checkpoint fallback: the converted
+    variables carry the BatchNorm and VQ-EMA collections (TIV/TV
+    encoders), and styled synthesis runs on them."""
+    import torch
+
+    from dex_tts_tpu.eval.evaluation import load_synthesizer
+    from tests.torch_twins import TTSTwin
+
+    root = make_corpus(str(tmp_path))
+    cfg = tiny_cfg(root, "dex")
+    # the reference architecture ties tv/lf0 c_out to the encoder width
+    # (sty_enc feeds AdaLN Linear(width, width)); the torch twin enforces
+    # that, so align the tiny cfg with it
+    cfg.model.tv_encoder.c_out = 24
+    cfg.model.lf0_encoder.c_out = 24
+
+    torch.manual_seed(0)
+    twin = TTSTwin(
+        n_vocab=149, n_feats=16, channels=24, heads=2, layers=1, ffn=32,
+        dp_channels=16, dim=8,
+        dit_kwargs=dict(patch=3, stride=2, hidden=16, depth=1, num_heads=2,
+                        mlp_ratio=2.0, conv_pos=4, conv_pos_groups=2),
+        tv_kwargs=dict(c_h=8, c_out=24, c_out_g=12, num_layer=1, n_emb=8),
+        tiv_kwargs=dict(c_h=16, c_out=8, num_layer=1),
+        lf0_kwargs=dict(c_h=8, c_out=24, c_out_g=12, num_layer=1),
+    )
+    exp_dir = str(tmp_path / "torch_exp")
+    os.makedirs(exp_dir)
+    torch.save(
+        {"scores": [0.0], "state_dict": twin.state_dict(),
+         "ema": twin.state_dict(), "optimizer": {}},
+        os.path.join(exp_dir, "model-last.pth"),
+    )
+
+    synth, ds = load_synthesizer(cfg, exp_dir, n_timesteps=2, tag="last")
+    assert synth.variables["batch_stats"], "BN stats missing from fallback"
+    assert synth.variables["vq_stats"], "VQ stats missing from fallback"
+    item = ds.eval_item(0)
+    out = synth.tts(
+        ["dex migrated"], key=jax.random.PRNGKey(0),
+        ref_feats=[(item["ref"], item["lf0"])], vocode=False,
+    )
+    assert np.isfinite(out[0]["mel"]).all()
