@@ -158,11 +158,20 @@ def _find_torch_tts_checkpoint(exp_dir: str, tag: str) -> str | None:
         "best-val": "model-val-best.pth",
         "last": "model-last.pth",
     }
-    cand = os.path.join(exp_dir, names.get(tag, f"model-{tag}.pth"))
-    return cand if os.path.isfile(cand) else None
+    cands = [names.get(tag, f"model-{tag}.pth")]
+    if tag == "best-train":
+        # the default tag: any reference checkpoint qualifies (reference
+        # runs always have model-last.pth; bests only when val improved)
+        cands += ["model-val-best.pth", "model-last.pth"]
+    for name in cands:
+        cand = os.path.join(exp_dir, name)
+        if os.path.isfile(cand):
+            return cand
+    return None
 
 
-def load_synthesizer(cfg, exp_dir: str, n_timesteps: int = 50, tag: str = "best-train"):
+def load_synthesizer(cfg, exp_dir: str, n_timesteps: int = 50, tag: str = "best-train",
+                     dit_cache_interval: int = 1):
     model = build_model(cfg)
     ds = TextMelDataset(
         cfg.path.val_path,
@@ -224,7 +233,9 @@ def load_synthesizer(cfg, exp_dir: str, n_timesteps: int = 50, tag: str = "best-
         vocoder_params=voc_params,
         cmu_path=cfg.path.get("cmu_path"),
         add_blank=cfg.model.get("add_blank", True),
-        sampler=SamplerConfig(num_steps=n_timesteps),
+        sampler=SamplerConfig(
+            num_steps=n_timesteps, dit_cache_interval=dit_cache_interval
+        ),
     ), ds
 
 

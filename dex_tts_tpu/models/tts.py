@@ -204,6 +204,20 @@ class GeDEXTTS(nn.Module):
         def denoise_fn(z, t, **kw):
             return self.decoder(z, mask3, mu_y, t, train=False, **kw, **denoise_kwargs)
 
+        # DiT-cache ("turbo") sampling hooks, used only when
+        # sampler.dit_cache_interval > 1 (models/edm._dit_cache_sampler)
+        def denoise_fn_mid(z, t, **kw):
+            return self.decoder(
+                z, mask3, mu_y, t, train=False, return_mid=True,
+                **kw, **denoise_kwargs,
+            )
+
+        def denoise_fn_cached(z, t, mid=None, **kw):
+            return self.decoder(
+                z, mask3, mu_y, t, train=False, mid_override=mid,
+                **kw, **denoise_kwargs,
+            )
+
         k_latent, k_sample = jax.random.split(key)
         noise = (
             latents_noise.astype(mu_y.dtype)
@@ -217,7 +231,11 @@ class GeDEXTTS(nn.Module):
             c_noise = jnp.zeros((x.shape[0],), mu_y.dtype)
             dec_out = denoise_fn(latents, c_noise)
         else:
-            dec_out = ablation_sampler(k_sample, denoise_fn, latents, sampler)
+            dec_out = ablation_sampler(
+                k_sample, denoise_fn, latents, sampler,
+                denoise_fn_mid=denoise_fn_mid,
+                denoise_fn_cached=denoise_fn_cached,
+            )
         return mu_y * mask3, dec_out * mask3, attn, y_lengths
 
     # -- training -----------------------------------------------------------

@@ -222,6 +222,8 @@ class DiffusionDenoiser(nn.Module):
         spk=None,
         train: bool = False,
         mask_ratio: float = 0.0,
+        return_mid: bool = False,
+        mid_override=None,
     ):
         """x, mu: (B, n_feats, W); mask: (B, 1, W); t: (B,) noise labels.
 
@@ -230,6 +232,11 @@ class DiffusionDenoiser(nn.Module):
         sty (DEX): (B, Ts, C_mid·?) decoder style sequence (channels last).
         spk (GeDEX): (B, spk_emb_dim) speaker embedding.
         Returns (B, n_feats, W).
+
+        DiT-cache sampling hooks (edm._dit_cache_sampler): return_mid=True
+        additionally returns the (adaptors+)DiT mid-block output;
+        mid_override replaces it, skipping the adaptors/DiT entirely so
+        only the conv U-Net path is computed. Both are trace-static.
         """
         channels = [mu, x]
         if not self.use_style and self.n_spks > 1:
@@ -268,7 +275,9 @@ class DiffusionDenoiser(nn.Module):
         masks = masks[:-1]
         mask_mid = masks[-1]
 
-        if self.use_style:
+        if mid_override is not None:
+            h = mid_override.astype(dt)
+        elif self.use_style:
             # time embeddings for the adaptors
             # (reference: DEX-TTS/model/diffusion.py:200-203)
             mid_dim = dims[-1]
@@ -287,9 +296,11 @@ class DiffusionDenoiser(nn.Module):
             )
             h = TIVAdaptor(name="tiv_adaptor")(h, ref, t_adap[:, None, :])
 
-        h = DiT(self.dit_cfg, name="dit")(
-            h, mask_mid, t, train=train, mask_ratio=mask_ratio
-        ).astype(dt)
+        if mid_override is None:
+            h = DiT(self.dit_cfg, name="dit")(
+                h, mask_mid, t, train=train, mask_ratio=mask_ratio
+            ).astype(dt)
+        mid_out = h
 
         for j, (dim_in, m) in enumerate(
             zip(reversed(dims[:-1]), reversed(masks[1:]))
@@ -306,4 +317,6 @@ class DiffusionDenoiser(nn.Module):
         h = Block(self.dim, self.groups, self.dtype, name="final_block")(h, mask4)
         out = nn.Conv(1, (1, 1), dtype=dt, name="final_conv")(h * mask4)
         out = (out * mask4).astype(jnp.float32)
+        if return_mid:
+            return out[:, :, :, 0], mid_out
         return out[:, :, :, 0]

@@ -215,6 +215,7 @@ class Synthesizer:
         texts: Sequence[str],
         key=None,
         n_timesteps: int | None = None,
+        dit_cache_interval: int | None = None,
         temperature: float = 1.5,
         length_scale: float = 1.0,
         spk_ids: Sequence[int] | None = None,
@@ -226,11 +227,20 @@ class Synthesizer:
         """Synthesize a batch of sentences → list of {mel, wav, n_frames}."""
         if key is None:
             key = jax.random.PRNGKey(0)
+        overrides = {}
         if n_timesteps is not None and n_timesteps != self.sampler.num_steps:
+            overrides["num_steps"] = n_timesteps
+        if (
+            dit_cache_interval is not None
+            and dit_cache_interval != self.sampler.dit_cache_interval
+        ):
+            # approximate turbo mode (models/edm._dit_cache_sampler)
+            overrides["dit_cache_interval"] = dit_cache_interval
+        if overrides:
             # the sampler is part of the graph-cache key — graphs compiled
-            # for other step counts stay cached
+            # for other step counts / cache intervals stay cached
             self.sampler = SamplerConfig(
-                **{**self.sampler.__dict__, "num_steps": n_timesteps}
+                **{**self.sampler.__dict__, **overrides}
             )
 
         seqs = [self.prepare_text(t) for t in texts]

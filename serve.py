@@ -34,6 +34,9 @@ def main():
                    help="default reference wav (DEX style source)")
     p.add_argument("--spk_id", type=int, default=None, help="GeDEX speaker")
     p.add_argument("--n_timesteps", type=int, default=50)
+    p.add_argument("--dit_cache_interval", type=int, default=1,
+                   help="approximate turbo sampling: reuse the DiT "
+                        "mid-block for k-1 of every k steps (1 = exact)")
     p.add_argument("--temperature", type=float, default=1.5)
     p.add_argument("--checkpoint_tag", default="best-train")
     p.add_argument("--host", default="127.0.0.1")
@@ -56,6 +59,7 @@ def main():
         enable_compile_cache(args.compile_cache)
     synth, _ = load_synthesizer(
         cfg, args.weight_path, n_timesteps=args.n_timesteps,
+        dit_cache_interval=args.dit_cache_interval,
         tag=args.checkpoint_tag,
     )
 

@@ -33,6 +33,9 @@ def parse_args():
     p.add_argument("--ref_name", nargs="*", default=None, help="reference wavs (DEX)")
     p.add_argument("--spk_id", type=int, default=None, help="speaker id (GeDEX)")
     p.add_argument("--n_timesteps", type=int, default=50)
+    p.add_argument("--dit_cache_interval", type=int, default=1,
+                   help="approximate turbo sampling: reuse the DiT "
+                        "mid-block for k-1 of every k steps (1 = exact)")
     p.add_argument("--temperature", type=float, default=1.5)
     p.add_argument("--length_scale", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=100)
@@ -47,6 +50,7 @@ def main():
     seed_init(args.seed)
     synth, _ = load_synthesizer(
         cfg, args.weight_path, n_timesteps=args.n_timesteps,
+        dit_cache_interval=args.dit_cache_interval,
         tag=args.checkpoint_tag,
     )
     os.makedirs(args.out_dir, exist_ok=True)

@@ -243,3 +243,19 @@ def test_tts_tensor_parallel_mesh_matches_single(synthesizer):
     for a, b in zip(got, base):
         assert a["n_frames"] == b["n_frames"]
         np.testing.assert_allclose(a["mel"], b["mel"], atol=2e-5)
+
+
+def test_tts_dit_cache_interval_knob(synthesizer):
+    """Turbo sampling through the pipeline: dit_cache_interval joins the
+    sampler (and therefore the graph-cache key) and produces finite audio."""
+    out = synthesizer.tts(
+        ["turbo knob"], key=jax.random.PRNGKey(3), n_timesteps=4,
+        dit_cache_interval=2,
+    )
+    assert np.isfinite(out[0]["wav"]).all()
+    assert synthesizer.sampler.dit_cache_interval == 2
+    # switch back to exact: a different cached graph, same results contract
+    out = synthesizer.tts(["turbo knob"], key=jax.random.PRNGKey(3),
+                          n_timesteps=4, dit_cache_interval=1)
+    assert np.isfinite(out[0]["wav"]).all()
+    assert synthesizer.sampler.dit_cache_interval == 1
