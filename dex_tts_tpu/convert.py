@@ -525,6 +525,36 @@ def load_torch_checkpoint(path: str, key: str | None = None) -> dict:
     checkpoint {'scores','state_dict','ema','optimizer'}
     (reference: DEX-TTS/src/train.py:112-122).
     """
+    ckpt = _load_torch_raw(path)
+    if key is not None:
+        ckpt = ckpt[key]
+    else:
+        if isinstance(ckpt, dict) and "generator" in ckpt:
+            ckpt = ckpt["generator"]
+        if isinstance(ckpt, dict) and "state_dict" in ckpt:
+            ckpt = ckpt["state_dict"]
+    return _tensors_to_numpy(ckpt)
+
+
+def _tensors_to_numpy(state: dict) -> dict:
+    return {k: v.numpy() for k, v in state.items() if hasattr(v, "numpy")}
+
+
+def load_torch_trainer_checkpoint(path: str) -> tuple[dict, dict | None]:
+    """One disk read of a reference trainer checkpoint → (state_dict, ema).
+
+    ema is None when the file is a bare state_dict (no trainer wrapper) or
+    the wrapper has no 'ema' key. reference: DEX-TTS/src/train.py:112-122.
+    """
+    ckpt = _load_torch_raw(path)
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        sd = _tensors_to_numpy(ckpt["state_dict"])
+        ema = ckpt.get("ema")
+        return sd, (_tensors_to_numpy(ema) if isinstance(ema, dict) else None)
+    return _tensors_to_numpy(ckpt), None
+
+
+def _load_torch_raw(path: str):
     import torch
 
     def _load_file(p):
@@ -553,11 +583,4 @@ def load_torch_checkpoint(path: str, key: str | None = None) -> dict:
                     ckpt = _load_file(zf.extract(inner, td))
                 except Exception:
                     raise first_exc  # wrapper theory wrong: original error
-    if key is not None:
-        ckpt = ckpt[key]
-    else:
-        if isinstance(ckpt, dict) and "generator" in ckpt:
-            ckpt = ckpt["generator"]
-        if isinstance(ckpt, dict) and "state_dict" in ckpt:
-            ckpt = ckpt["state_dict"]
-    return {k: v.numpy() for k, v in ckpt.items() if hasattr(v, "numpy")}
+    return ckpt

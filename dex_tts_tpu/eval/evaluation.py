@@ -172,6 +172,13 @@ def _find_torch_tts_checkpoint(exp_dir: str, tag: str) -> str | None:
 
 def load_synthesizer(cfg, exp_dir: str, n_timesteps: int = 50, tag: str = "best-train",
                      dit_cache_interval: int = 1):
+    if dit_cache_interval > 1 and n_timesteps % dit_cache_interval:
+        # fail fast at startup — otherwise a misconfigured server boots
+        # healthy and 500s every request at first-trace time
+        raise ValueError(
+            f"n_timesteps {n_timesteps} must be a multiple of "
+            f"dit_cache_interval {dit_cache_interval}"
+        )
     model = build_model(cfg)
     ds = TextMelDataset(
         cfg.path.val_path,
@@ -207,12 +214,12 @@ def load_synthesizer(cfg, exp_dir: str, n_timesteps: int = 50, tag: str = "best-
         # reference-trained weights, converted on the fly (convert.py)
         from dex_tts_tpu.convert import (
             dex_tts_torch_to_flax,
-            load_torch_checkpoint,
+            load_torch_trainer_checkpoint,
         )
 
-        state_dict = load_torch_checkpoint(
-            torch_ckpt, key="ema" if use_ema else "state_dict"
-        )
+        state_dict, ema_dict = load_torch_trainer_checkpoint(torch_ckpt)
+        if use_ema and ema_dict is not None:
+            state_dict = ema_dict  # bare state_dicts have no ema: use raw
         variables = dict(dex_tts_torch_to_flax(state_dict, model))
         variables.setdefault("batch_stats", {})
         variables.setdefault("vq_stats", {})

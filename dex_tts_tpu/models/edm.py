@@ -450,5 +450,9 @@ def _dit_cache_sampler(
         for kk, v in sched.items()
         if kk != "x_init_scale"
     }
-    x, _ = jax.lax.scan(lambda c, p: chunk(c, p), x0, per_step)
+    # cfg.unroll counts denoiser steps; a chunk already contains k of them
+    chunk_unroll = max(1, cfg.unroll // k)
+    x, _ = jax.lax.scan(
+        lambda c, p: chunk(c, p), x0, per_step, unroll=chunk_unroll
+    )
     return x

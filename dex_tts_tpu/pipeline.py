@@ -236,13 +236,26 @@ class Synthesizer:
         ):
             # approximate turbo mode (models/edm._dit_cache_sampler)
             overrides["dit_cache_interval"] = dit_cache_interval
+        prev_sampler = self.sampler
         if overrides:
             # the sampler is part of the graph-cache key — graphs compiled
-            # for other step counts / cache intervals stay cached
+            # for other step counts / cache intervals stay cached. The
+            # override is per-call (restored in the finally below): one
+            # turbo/short-steps request must not silently change the
+            # fidelity of later calls on a shared Synthesizer.
             self.sampler = SamplerConfig(
                 **{**self.sampler.__dict__, **overrides}
             )
+        try:
+            return self._tts_batch(
+                texts, key, temperature, length_scale, spk_ids, ref_wavs,
+                ref_feats, vocode, max_frames,
+            )
+        finally:
+            self.sampler = prev_sampler
 
+    def _tts_batch(self, texts, key, temperature, length_scale, spk_ids,
+                   ref_wavs, ref_feats, vocode, max_frames):
         seqs = [self.prepare_text(t) for t in texts]
         b = len(seqs)
         x_max = _bucket(max(len(s) for s in seqs), self.x_quantum)

@@ -50,25 +50,23 @@ def warm_start_state(state, model, path: str):
     weights converted from a reference torch checkpoint — fine-tune
     reference-trained models on TPU without a conversion step.
     reference checkpoint format: DEX-TTS/src/train.py:112-122."""
-    from dex_tts_tpu.convert import dex_tts_torch_to_flax, load_torch_checkpoint
+    from dex_tts_tpu.convert import (
+        dex_tts_torch_to_flax,
+        load_torch_trainer_checkpoint,
+    )
     from dex_tts_tpu.eval.evaluation import _find_torch_tts_checkpoint
 
-    resolved = None
-    for tag in ("best-train", "best-val", "last"):
-        resolved = _find_torch_tts_checkpoint(path, tag)
-        if resolved:
-            break
-    assert resolved, f"no reference checkpoint found at {path}"
-    try:
-        sd = load_torch_checkpoint(resolved, key="state_dict")
-    except KeyError:  # bare state_dict file
-        sd = load_torch_checkpoint(resolved)
+    # "best-train" already falls back through val-best and last
+    resolved = _find_torch_tts_checkpoint(path, "best-train")
+    if not resolved:
+        raise FileNotFoundError(f"no reference checkpoint found at {path}")
+    sd, ema_sd = load_torch_trainer_checkpoint(resolved)  # one disk read
     variables = dex_tts_torch_to_flax(sd, model)
-    try:
-        ema_sd = load_torch_checkpoint(resolved, key="ema")
-        ema_params = dex_tts_torch_to_flax(ema_sd, model)["params"]
-    except KeyError:
-        ema_params = variables["params"]
+    ema_params = (
+        dex_tts_torch_to_flax(ema_sd, model)["params"]
+        if ema_sd is not None
+        else variables["params"]
+    )
     print(f"warm start from {resolved}")
     return state.replace(
         params=variables["params"],

@@ -247,15 +247,17 @@ def test_tts_tensor_parallel_mesh_matches_single(synthesizer):
 
 def test_tts_dit_cache_interval_knob(synthesizer):
     """Turbo sampling through the pipeline: dit_cache_interval joins the
-    sampler (and therefore the graph-cache key) and produces finite audio."""
+    sampler (and therefore the graph-cache key) and produces finite audio.
+    The override is per-call — one turbo request must not silently change
+    the fidelity of later calls on a shared Synthesizer."""
+    before = synthesizer.sampler
     out = synthesizer.tts(
         ["turbo knob"], key=jax.random.PRNGKey(3), n_timesteps=4,
         dit_cache_interval=2,
     )
     assert np.isfinite(out[0]["wav"]).all()
-    assert synthesizer.sampler.dit_cache_interval == 2
-    # switch back to exact: a different cached graph, same results contract
+    assert synthesizer.sampler == before  # restored, not sticky
     out = synthesizer.tts(["turbo knob"], key=jax.random.PRNGKey(3),
-                          n_timesteps=4, dit_cache_interval=1)
+                          n_timesteps=4)
     assert np.isfinite(out[0]["wav"]).all()
-    assert synthesizer.sampler.dit_cache_interval == 1
+    assert synthesizer.sampler == before
