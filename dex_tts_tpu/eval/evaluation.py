@@ -255,10 +255,17 @@ def run_objective_eval(
     seed: int = 0,
     asr: ASRScorer | None = None,
     spk_scorer: SpeakerScorer | None = None,
+    dit_cache_interval: int = 1,
 ):
     """asr/spk_scorer are injectable so tests can exercise the scoring
-    wiring without the optional pretrained backends."""
-    synth, ds = load_synthesizer(cfg, exp_dir, n_timesteps)
+    wiring without the optional pretrained backends.
+
+    dit_cache_interval > 1 evaluates the approximate turbo sampler — run
+    it against the exact default to quantify the quality cost (mel-MAE,
+    CER/WER, speaker-cos) on your own trained model before serving it."""
+    synth, ds = load_synthesizer(
+        cfg, exp_dir, n_timesteps, dit_cache_interval=dit_cache_interval
+    )
     out_dir = os.path.join(exp_dir, "eval")
     os.makedirs(out_dir, exist_ok=True)
 

@@ -38,6 +38,11 @@ def parse_args():
     p.add_argument("--compile_cache", default=None, metavar="DIR",
                    help="persistent XLA compile cache dir (TPU only): "
                         "restarts/resumes skip recompiling each bucket")
+    p.add_argument("--dit_cache_interval", type=int, default=1,
+                   help="test action: objective-eval the approximate "
+                        "turbo sampler (DiT mid-block reused for k-1 of "
+                        "every k steps; 1 = exact) to quantify its "
+                        "quality cost on a trained model")
     p.add_argument("--init_from", default=None, metavar="PATH",
                    help="warm-start params/EMA from a reference-format "
                         "torch checkpoint (.pth file or reference "
@@ -288,6 +293,7 @@ def test(args):
         sample_size=args.sample_size,
         n_timesteps=args.n_timesteps,
         test_file=args.test_file,
+        dit_cache_interval=getattr(args, "dit_cache_interval", 1),
     )
 
 
