@@ -38,6 +38,9 @@ def main():
                    help="approximate turbo sampling: reuse the DiT "
                         "mid-block for k-1 of every k steps (1 = exact)")
     p.add_argument("--temperature", type=float, default=1.5)
+    p.add_argument("--length_scale", type=float, default=1.0,
+                   help="duration multiplier (speech-rate control; "
+                        "a traced scalar — no recompilation)")
     p.add_argument("--checkpoint_tag", default="best-train")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8901)
@@ -78,7 +81,8 @@ def main():
         if args.spk_id is not None:
             kw["spk_ids"] = [args.spk_id] * len(texts)
         return synth.tts(
-            texts, key=sub, temperature=args.temperature, **kw
+            texts, key=sub, temperature=args.temperature,
+            length_scale=args.length_scale, **kw
         )
 
     if args.warmup:
