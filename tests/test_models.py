@@ -353,3 +353,47 @@ def test_dit_cache_turbo_sampler(gedex_vars):
         run(SamplerConfig(num_steps=4, dit_cache_interval=2, solver="heun"))
     with pytest.raises(ValueError):
         run(SamplerConfig(num_steps=5, dit_cache_interval=2))
+
+
+def test_dit_cache_turbo_sampler_dex():
+    """DEX variant of turbo sampling: the cached steps skip the style
+    adaptors together with the DiT (use_style branch of the mid override)
+    and still produce finite, masked, near-exact mels."""
+    model = tiny_dex()
+    rng = np.random.default_rng(1)
+    x, x_lengths, y, y_lengths = gedex_batch()
+    style = dex_style_inputs(rng)
+    init_rngs = {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(
+        init_rngs, jax.random.PRNGKey(2), x, x_lengths, y, y_lengths,
+        out_size=20, train=False, **style, method=DeXTTS.compute_loss,
+    )
+    leaves, treedef = jax.tree.flatten(variables["params"])
+    keys = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+    variables = {
+        **variables,
+        "params": jax.tree.unflatten(
+            treedef,
+            [p + 0.05 * jax.random.normal(k, p.shape, p.dtype)
+             for p, k in zip(leaves, keys)],
+        ),
+    }
+
+    def run(sampler):
+        return model.apply(
+            variables, jax.random.PRNGKey(5), x, x_lengths,
+            y_max_length=64, sampler=sampler, temperature=1.5, **style,
+            method=DeXTTS.synthesize,
+        )
+
+    _, dec_exact, _, lens = run(SamplerConfig(num_steps=4))
+    _, dec_turbo, _, _ = run(SamplerConfig(num_steps=4, dit_cache_interval=2))
+    d = np.asarray(dec_turbo)
+    assert np.isfinite(d).all()
+    lens = np.asarray(lens)
+    assert np.abs(d[1, :, lens[1]:]).max() == 0
+    exact = np.asarray(dec_exact)
+    assert not np.array_equal(d, exact)
+    rel = np.linalg.norm(d - exact) / np.linalg.norm(exact)
+    assert rel < 0.5, rel
