@@ -252,3 +252,61 @@ def test_dataset_cache_bound(tmp_path):
     for i in range(3):
         ds2.sample_segment(i)
     assert len(ds2._cache) == 3
+
+
+def test_generator_warm_start_from_torch_release(tmp_path):
+    """train_vocoder --init_gen: a released torch generator checkpoint
+    (weight-normed) replaces the fresh generator params (optimizer reset),
+    and the GAN step trains on top of it."""
+    import importlib.util
+    import os
+
+    import torch
+
+    from tests.test_vocoder import (
+        build_torch_generator,
+        torch_state_to_reference_names,
+    )
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "dex_tts_tpu_train_vocoder", os.path.join(root, "train_vocoder.py")
+    )
+    tv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tv)
+
+    torch.manual_seed(0)
+    tgen = build_torch_generator(TINY_GEN)
+    ckpt_path = str(tmp_path / "generator_release.pth")
+    state_np = torch_state_to_reference_names(tgen, TINY_GEN)
+    torch.save(
+        {"generator": {k: torch.from_numpy(v) for k, v in state_np.items()}},
+        ckpt_path,
+    )
+
+    gen = HiFiGANGenerator(TINY_GEN)
+    mel = tiny_mel()
+    gen_tx = make_vocoder_optimizer(lr=2e-3, steps_per_epoch=50)
+    disc_tx = make_vocoder_optimizer(lr=2e-3)
+    state, gen_tx, disc_tx, (mpd, mrd) = create_vocoder_train_state(
+        gen, jnp.asarray(sine_batch()["wav"]), mel, TINY_DISC,
+        gen_tx=gen_tx, disc_tx=disc_tx,
+    )
+    fresh_leaf = np.asarray(jax.tree.leaves(state.gen_params)[0])
+
+    state = tv.warm_start_generator(state, gen, gen_tx, "hifigan", ckpt_path)
+    warm_leaf = np.asarray(jax.tree.leaves(state.gen_params)[0])
+    assert not np.array_equal(fresh_leaf, warm_leaf)
+
+    from dex_tts_tpu.convert import hifigan_torch_to_flax, load_torch_checkpoint
+
+    want = hifigan_torch_to_flax(load_torch_checkpoint(ckpt_path), TINY_GEN)
+    for a, b in zip(jax.tree.leaves(state.gen_params), jax.tree.leaves(want)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    step = jax.jit(
+        make_vocoder_train_step(gen, mpd, mrd, gen_tx, disc_tx, mel)
+    )
+    state2, metrics = step(state, sine_batch())
+    assert np.isfinite(float(metrics["loss_gen"]))
+    assert int(state2.step) == int(state.step) + 1

@@ -41,6 +41,29 @@ from dex_tts_tpu.train.vocoder import (
 )
 
 
+def warm_start_generator(state, gen, gen_tx, vocoder_kind: str,
+                         path: str):
+    """Replace the generator params in a fresh vocoder train state with a
+    released torch checkpoint's weights (weight norm folded) — fine-tune
+    HiFi-GAN/BigVGAN on your own data; critics/optimizer start fresh."""
+    from dex_tts_tpu.convert import (
+        bigvgan_torch_to_flax,
+        hifigan_torch_to_flax,
+        load_torch_checkpoint,
+    )
+
+    convert = (
+        hifigan_torch_to_flax
+        if vocoder_kind == "hifigan"
+        else bigvgan_torch_to_flax
+    )
+    gen_params = convert(load_torch_checkpoint(path), gen.cfg)
+    return state.replace(
+        gen_params=gen_params,
+        gen_opt_state=gen_tx.init(gen_params),
+    )
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--data", required=True,
@@ -66,6 +89,11 @@ def main():
     p.add_argument("--save_every", type=int, default=5000)
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--init_gen", default=None, metavar="PATH",
+                   help="warm-start the generator from a released "
+                        "torch checkpoint (.pth/.pth.tar[.zip]) — "
+                        "fine-tune HiFi-GAN/BigVGAN weights on your "
+                        "own data; critics/optimizer start fresh")
     p.add_argument("--n_devices", type=int, default=0,
                    help="data-parallel device count (0 = single device)")
     args = p.parse_args()
@@ -132,6 +160,12 @@ def main():
         DiscriminatorConfig(),
         gen_tx=tx(), disc_tx=tx(), seed=args.seed,
     )
+    if args.init_gen:
+        state = warm_start_generator(
+            state, gen, gen_tx, args.vocoder, args.init_gen
+        )
+        print(f"generator warm start from {args.init_gen}")
+
     step_fn = make_vocoder_train_step(
         gen, mpd, mrd, gen_tx, disc_tx, mel, mel_l1,
         lambda_mel=args.lambda_mel,
