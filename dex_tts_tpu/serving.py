@@ -43,10 +43,18 @@ class MicroBatcher:
         infer_fn,
         max_batch: int = 16,
         max_wait_ms: float = 25.0,
+        split_length_ratio: float = 2.0,
     ):
         self.infer_fn = infer_fn
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
+        # length-aware batching: Synthesizer pads every sentence in a batch
+        # to the longest one's text/frame bucket, so co-batching a 10-word
+        # and a 200-word request wastes ~longest/shortest of the compute.
+        # When the collected batch's max/min text length exceeds this ratio
+        # it is split at the largest relative length gap into two groups
+        # (each its own compiled-bucket dispatch). 0 disables.
+        self.split_length_ratio = split_length_ratio
         self.batch_sizes: list[int] = []  # observability / tests
         self._q: queue.Queue = queue.Queue()
         self._stop = threading.Event()
@@ -110,38 +118,58 @@ class MicroBatcher:
             batch.append(item)
         return batch
 
+    def _split_by_length(self, batch: list) -> list[list]:
+        """Split a collected batch at the largest relative text-length gap
+        when the longest/shortest ratio exceeds split_length_ratio."""
+        if self.split_length_ratio <= 0 or len(batch) < 2:
+            return [batch]
+        ordered = sorted(batch, key=lambda item: len(item[0]))
+        lo, hi = len(ordered[0][0]), len(ordered[-1][0])
+        if lo == 0 or hi / lo <= self.split_length_ratio:
+            return [batch]
+        gaps = [
+            len(ordered[i + 1][0]) / max(len(ordered[i][0]), 1)
+            for i in range(len(ordered) - 1)
+        ]
+        cut = gaps.index(max(gaps)) + 1
+        return [ordered[:cut], ordered[cut:]]
+
     def _run(self):
         while not self._stop.is_set():
             batch = self._collect()
             if not batch:
                 continue
-            texts = [t for t, _ in batch]
-            self.batch_sizes.append(len(texts))
-            try:
-                results = self.infer_fn(texts)
-                if len(results) != len(texts):
-                    raise RuntimeError(
-                        f"infer_fn returned {len(results)} results for "
-                        f"{len(texts)} texts"
-                    )
-                for (_, fut), res in zip(batch, results):
-                    fut.set_result(res)
-            except Exception:
-                # one bad sentence must not poison its co-batched peers:
-                # retry each item alone so only the real offender fails
-                for t, fut in batch:
-                    if fut.done():
-                        continue
-                    try:
-                        res = self.infer_fn([t])
-                        if len(res) != 1:
-                            raise RuntimeError(
-                                f"infer_fn returned {len(res)} results "
-                                "for 1 text"
-                            )
-                        fut.set_result(res[0])
-                    except Exception as e:
-                        fut.set_exception(e)
+            for group in self._split_by_length(batch):
+                self._serve_group(group)
+
+    def _serve_group(self, batch: list):
+        texts = [t for t, _ in batch]
+        self.batch_sizes.append(len(texts))
+        try:
+            results = self.infer_fn(texts)
+            if len(results) != len(texts):
+                raise RuntimeError(
+                    f"infer_fn returned {len(results)} results for "
+                    f"{len(texts)} texts"
+                )
+            for (_, fut), res in zip(batch, results):
+                fut.set_result(res)
+        except Exception:
+            # one bad sentence must not poison its co-batched peers:
+            # retry each item alone so only the real offender fails
+            for t, fut in batch:
+                if fut.done():
+                    continue
+                try:
+                    res = self.infer_fn([t])
+                    if len(res) != 1:
+                        raise RuntimeError(
+                            f"infer_fn returned {len(res)} results "
+                            "for 1 text"
+                        )
+                    fut.set_result(res[0])
+                except Exception as e:
+                    fut.set_exception(e)
 
 
 def wav_to_b64(wav: np.ndarray) -> str:

@@ -46,6 +46,10 @@ def main():
     p.add_argument("--port", type=int, default=8901)
     p.add_argument("--max_batch", type=int, default=16)
     p.add_argument("--max_wait_ms", type=float, default=25.0)
+    p.add_argument("--split_length_ratio", type=float, default=2.0,
+                   help="split a collected batch at the largest text-"
+                        "length gap when max/min exceeds this ratio "
+                        "(padding waste control; 0 disables)")
     p.add_argument("--warmup", default="Warm up the compiled buckets.",
                    help="sentence synthesized once at startup ('' skips)")
     p.add_argument("--seed", type=int, default=100)
@@ -90,7 +94,8 @@ def main():
         infer([args.warmup])
 
     batcher = MicroBatcher(
-        infer, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
+        infer, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        split_length_ratio=args.split_length_ratio,
     )
     srv = make_server(
         batcher,

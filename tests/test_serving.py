@@ -268,3 +268,55 @@ def test_close_fails_queued_requests_fast():
     assert f1.result(timeout=5) == {"text": "a"}
     with pytest.raises(RuntimeError, match="shutting down"):
         f2.result(timeout=5)
+
+
+def test_length_aware_batch_split():
+    """A batch mixing short and long sentences splits at the largest
+    length gap (each group its own dispatch); homogeneous batches stay
+    whole; results still land on the right futures."""
+    # the splitter itself is a pure function — test it deterministically
+    mb = MicroBatcher(lambda ts: [{"t": t} for t in ts],
+                      split_length_ratio=2.0)
+    try:
+        items = [("a" * 40, None), ("hi", None), ("b" * 44, None),
+                 ("ok", None)]
+        groups = mb._split_by_length(items)
+        assert [sorted(t for t, _ in g) for g in groups] == [
+            ["hi", "ok"], ["a" * 40, "b" * 44]
+        ]
+        same = [("medium one", None), ("medium two", None)]
+        assert mb._split_by_length(same) == [same]
+        assert mb._split_by_length(items[:1]) == [items[:1]]
+    finally:
+        mb.close()
+
+    # integration: served through the worker, futures map back correctly
+    # and no dispatch mixes a short with a long sentence
+    calls = []
+
+    def infer(texts):
+        calls.append(list(texts))
+        return [{"text": t} for t in texts]
+
+    mb = MicroBatcher(infer, max_batch=8, max_wait_ms=40.0,
+                      split_length_ratio=2.0)
+    try:
+        texts = ["hi", "ok", "a" * 40, "b" * 44]
+        futs = [mb.submit(t) for t in texts]
+        outs = [f.result(timeout=30) for f in futs]
+        for t, o in zip(texts, outs):
+            assert o["text"] == t
+        assert sum(len(c) for c in calls) == 4
+        assert len(calls) >= 2, calls  # the mixed batch was split
+        for c in calls:
+            assert not (min(map(len, c)) < 10 < 30 < max(map(len, c))), c
+    finally:
+        mb.close()
+
+
+def test_submit_after_close_fails_fast():
+    mb = MicroBatcher(lambda ts: [{"t": t} for t in ts], max_wait_ms=5.0)
+    mb.close()
+    fut = mb.submit("late")
+    with pytest.raises(RuntimeError, match="shutting down"):
+        fut.result(timeout=5)
