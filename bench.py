@@ -52,7 +52,15 @@ def main():
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of one timed e2e "
                         "iteration into DIR (TensorBoard/Perfetto)")
+    p.add_argument("--dit_cache", type=int, default=1, metavar="K",
+                   help="approximate turbo sampling (DiT mid-block reused "
+                        "for K-1 of every K steps); 1 = exact (the "
+                        "headline benchmark is always exact)")
     args = p.parse_args()
+    if args.dit_cache > 1 and N_STEPS % args.dit_cache:
+        p.error(
+            f"--dit_cache {args.dit_cache} must divide {N_STEPS} steps"
+        )
 
     b, tx, ty, t_ref = args.batch, 96, 768, 256
     # flash blocks default to 1024 (padding-aware auto selection), which
@@ -102,7 +110,9 @@ def main():
             x,
             x_lengths,
             y_max_length=ty,
-            sampler=SamplerConfig(num_steps=N_STEPS),
+            sampler=SamplerConfig(
+                num_steps=N_STEPS, dit_cache_interval=args.dit_cache
+            ),
             temperature=1.5,
             length_scale=1.0,
             method=family_cls.synthesize,
@@ -145,7 +155,13 @@ def main():
                 "metric": (
                     f"end-to-end {args.family} text-to-WAV synthesis RTF per chip "
                     f"({N_STEPS}-step EDM + fused {args.vocoder}, batch {b}, "
-                    f"{ty} frames/item)"
+                    f"{ty} frames/item"
+                    + (
+                        f", APPROX dit-cache {args.dit_cache}"
+                        if args.dit_cache > 1
+                        else ""
+                    )
+                    + ")"
                 ),
                 "value": round(rtf_e2e, 6),
                 "unit": "RTF (wall s / audio s)",

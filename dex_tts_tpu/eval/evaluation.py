@@ -218,8 +218,18 @@ def load_synthesizer(cfg, exp_dir: str, n_timesteps: int = 50, tag: str = "best-
         )
 
         state_dict, ema_dict = load_torch_trainer_checkpoint(torch_ckpt)
-        if use_ema and ema_dict is not None:
-            state_dict = ema_dict  # bare state_dicts have no ema: use raw
+        if use_ema:
+            if ema_dict is None:
+                # bare state_dict or trainer dict without 'ema' — degrade
+                # loudly, not silently: the config asked for EMA weights
+                import warnings
+
+                warnings.warn(
+                    f"test.ema=true but {torch_ckpt} has no 'ema' weights; "
+                    "using the raw state_dict"
+                )
+            else:
+                state_dict = ema_dict
         variables = dict(dex_tts_torch_to_flax(state_dict, model))
         variables.setdefault("batch_stats", {})
         variables.setdefault("vq_stats", {})

@@ -157,16 +157,16 @@ class Synthesizer:
             **cond_inputs,
         )
 
-    def _get_synth(self, x_len: int, y_len: int, with_vocoder: bool):
+    def _get_synth(self, x_len: int, y_len: int, with_vocoder: bool,
+                   sampler: SamplerConfig):
         # sampler settings are compile-time constants of the scan graph, so
         # they join the cache key (alternating n_timesteps=50/10 then reuses
         # two cached graphs instead of recompiling)
-        key = (x_len, y_len, with_vocoder, self.sampler)
+        key = (x_len, y_len, with_vocoder, sampler)
         if key in self._synth_cache:
             return self._synth_cache[key]
 
         method = type(self.model).synthesize
-        sampler = self.sampler
 
         @jax.jit
         def run(variables, voc_params, rng, inputs, temperature, length_scale):
@@ -236,26 +236,22 @@ class Synthesizer:
         ):
             # approximate turbo mode (models/edm._dit_cache_sampler)
             overrides["dit_cache_interval"] = dit_cache_interval
-        prev_sampler = self.sampler
-        if overrides:
-            # the sampler is part of the graph-cache key — graphs compiled
-            # for other step counts / cache intervals stay cached. The
-            # override is per-call (restored in the finally below): one
-            # turbo/short-steps request must not silently change the
-            # fidelity of later calls on a shared Synthesizer.
-            self.sampler = SamplerConfig(
-                **{**self.sampler.__dict__, **overrides}
-            )
-        try:
-            return self._tts_batch(
-                texts, key, temperature, length_scale, spk_ids, ref_wavs,
-                ref_feats, vocode, max_frames,
-            )
-        finally:
-            self.sampler = prev_sampler
+        # the override is a per-call local — never written to self, so
+        # concurrent tts() calls on a shared Synthesizer each keep their
+        # own fidelity (the sampler joins the graph-cache key; graphs for
+        # other step counts / cache intervals stay cached)
+        sampler = (
+            SamplerConfig(**{**self.sampler.__dict__, **overrides})
+            if overrides
+            else self.sampler
+        )
+        return self._tts_batch(
+            texts, key, temperature, length_scale, spk_ids, ref_wavs,
+            ref_feats, vocode, max_frames, sampler,
+        )
 
     def _tts_batch(self, texts, key, temperature, length_scale, spk_ids,
-                   ref_wavs, ref_feats, vocode, max_frames):
+                   ref_wavs, ref_feats, vocode, max_frames, sampler):
         seqs = [self.prepare_text(t) for t in texts]
         b = len(seqs)
         x_max = _bucket(max(len(s) for s in seqs), self.x_quantum)
@@ -313,7 +309,7 @@ class Synthesizer:
 
         # phase 2: full synthesis at the bucketed length
         with_voc = vocode and self.vocoder is not None
-        run = self._get_synth(x_max, y_len, with_voc)
+        run = self._get_synth(x_max, y_len, with_voc, sampler)
         voc_params = self.vocoder_params if with_voc else {}
         out = run(
             self.variables, voc_params, key, inputs,

@@ -124,15 +124,20 @@ class MicroBatcher:
         if self.split_length_ratio <= 0 or len(batch) < 2:
             return [batch]
         ordered = sorted(batch, key=lambda item: len(item[0]))
-        lo, hi = len(ordered[0][0]), len(ordered[-1][0])
-        if lo == 0 or hi / lo <= self.split_length_ratio:
+        lo = max(len(ordered[0][0]), 1)  # empty text must not disable this
+        hi = max(len(ordered[-1][0]), 1)
+        if hi / lo <= self.split_length_ratio:
             return [batch]
         gaps = [
             len(ordered[i + 1][0]) / max(len(ordered[i][0]), 1)
             for i in range(len(ordered) - 1)
         ]
         cut = gaps.index(max(gaps)) + 1
-        return [ordered[:cut], ordered[cut:]]
+        # recurse: a batch spanning three length clusters needs more than
+        # one cut (e.g. [4, 40, 400] chars)
+        return self._split_by_length(ordered[:cut]) + self._split_by_length(
+            ordered[cut:]
+        )
 
     def _run(self):
         while not self._stop.is_set():

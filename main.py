@@ -293,7 +293,7 @@ def test(args):
         sample_size=args.sample_size,
         n_timesteps=args.n_timesteps,
         test_file=args.test_file,
-        dit_cache_interval=getattr(args, "dit_cache_interval", 1),
+        dit_cache_interval=args.dit_cache_interval,
     )
 
 

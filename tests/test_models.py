@@ -341,7 +341,7 @@ def test_dit_cache_turbo_sampler(gedex_vars):
     d = np.asarray(dec_turbo)
     assert np.isfinite(d).all()
     lens = np.asarray(lens)
-    assert np.abs(d[1, :, lens[1]:]).max() == 0
+    assert np.all(d[1, :, lens[1]:] == 0)  # empty slice ok if lens saturates
     exact = np.asarray(dec_exact)
     assert not np.array_equal(d, exact)  # it is an approximation...
     # ...but a close one even on random weights: same scale and small
@@ -392,7 +392,7 @@ def test_dit_cache_turbo_sampler_dex():
     d = np.asarray(dec_turbo)
     assert np.isfinite(d).all()
     lens = np.asarray(lens)
-    assert np.abs(d[1, :, lens[1]:]).max() == 0
+    assert np.all(d[1, :, lens[1]:] == 0)  # empty slice ok if lens saturates
     exact = np.asarray(dec_exact)
     assert not np.array_equal(d, exact)
     rel = np.linalg.norm(d - exact) / np.linalg.norm(exact)
