@@ -50,10 +50,12 @@ def gt_wav_path(filelist_path: str) -> str:
     return ""
 
 
-def load_vocoder(cfg):
+def load_vocoder(cfg, strict: bool = False):
     """HiFi-GAN or BigVGAN (per cfg.vocoder) with converted torch weights
-    when present, else random init (useful for smoke runs).
-    reference: DEX-TTS/src/utils.py:251-281."""
+    when present, else random init (useful for smoke runs). With
+    ``strict=True`` a missing checkpoint raises instead of falling back to
+    random init (used by export tooling, where silently shipping untrained
+    weights would be a trap). reference: DEX-TTS/src/utils.py:251-281."""
     from dex_tts_tpu.convert import (
         bigvgan_torch_to_flax,
         hifigan_torch_to_flax,
@@ -138,6 +140,12 @@ def load_vocoder(cfg):
         if os.path.isfile(cand):
             params = convert(load_torch_checkpoint(cand), voc.cfg)
             return voc, params
+    if strict:
+        raise FileNotFoundError(
+            f"no {kind} checkpoint found under cfg.path.vocoder_path="
+            f"{path!r} (tried orbax gen_best/gen_last and "
+            f"{candidates or 'no torch candidates (path unset)'})"
+        )
     import jax.numpy as jnp
 
     params = voc.init(jax.random.PRNGKey(0), jnp.zeros((1, n_mels, 16)))["params"]
@@ -170,6 +178,40 @@ def _find_torch_tts_checkpoint(exp_dir: str, tag: str) -> str | None:
     return None
 
 
+def _val_dataset(cfg):
+    return TextMelDataset(
+        cfg.path.val_path,
+        cmu_path=cfg.path.get("cmu_path"),
+        add_blank=cfg.model.get("add_blank", True),
+        load_style=cfg.get("model_family", "dex") == "dex",
+    )
+
+
+def build_init_batch(cfg, ds=None):
+    """Batch-of-1 init batch (first val item) for tracing `model.init` —
+    shared by load_synthesizer and the export CLI; only shapes/dtypes
+    matter."""
+    ds = _val_dataset(cfg) if ds is None else ds
+    item = ds[0]
+    batch = {
+        "x": item["x"][None],
+        "x_lengths": np.asarray([len(item["x"])], np.int32),
+        "y": item["y"][None],
+        "y_lengths": np.asarray([item["y"].shape[1]], np.int32),
+    }
+    if "ref" in item:
+        t = item["ref"].shape[1]
+        batch.update(
+            ref=item["ref"][None],
+            ref_lengths=np.asarray([t], np.int32),
+            sty=item["sty"][None],
+            sty_lengths=np.asarray([t], np.int32),
+            lf0=item["lf0"][None],
+            lf0_lengths=np.asarray([len(item["lf0"])], np.int32),
+        )
+    return batch
+
+
 def load_synthesizer(cfg, exp_dir: str, n_timesteps: int = 50, tag: str = "best-train",
                      dit_cache_interval: int = 1):
     if dit_cache_interval > 1 and n_timesteps % dit_cache_interval:
@@ -180,30 +222,8 @@ def load_synthesizer(cfg, exp_dir: str, n_timesteps: int = 50, tag: str = "best-
             f"dit_cache_interval {dit_cache_interval}"
         )
     model = build_model(cfg)
-    ds = TextMelDataset(
-        cfg.path.val_path,
-        cmu_path=cfg.path.get("cmu_path"),
-        add_blank=cfg.model.get("add_blank", True),
-        load_style=cfg.get("model_family", "dex") == "dex",
-    )
-    init_batch_src = ds[0]
-    # build an init batch of batch-size 1 from the first item
-    batch = {
-        "x": init_batch_src["x"][None],
-        "x_lengths": np.asarray([len(init_batch_src["x"])], np.int32),
-        "y": init_batch_src["y"][None],
-        "y_lengths": np.asarray([init_batch_src["y"].shape[1]], np.int32),
-    }
-    if "ref" in init_batch_src:
-        t = init_batch_src["ref"].shape[1]
-        batch.update(
-            ref=init_batch_src["ref"][None],
-            ref_lengths=np.asarray([t], np.int32),
-            sty=init_batch_src["sty"][None],
-            sty_lengths=np.asarray([t], np.int32),
-            lf0=init_batch_src["lf0"][None],
-            lf0_lengths=np.asarray([len(init_batch_src["lf0"])], np.int32),
-        )
+    ds = _val_dataset(cfg)
+    batch = build_init_batch(cfg, ds)
     use_ema = bool(cfg.get("test", {}).get("ema", False))
     torch_ckpt = (
         None

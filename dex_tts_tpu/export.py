@@ -1,9 +1,13 @@
 """Flax params → PyTorch checkpoint exporters (inverse of convert.py).
 
 Lets models trained with this framework flow back into the reference
-ecosystem: a DeXTTS/GeDEXTTS orbax checkpoint becomes a reference-format
-trainer dict (``{'state_dict': ..., 'ema': ...}``) loadable by
-``DEX-TTS/src/train.py:112-122``-style tooling, and trained HiFi-GAN/
+ecosystem: a DeXTTS/GeDEXTTS orbax checkpoint becomes a
+``{'state_dict': ..., 'ema': ...}`` dict in the layout the reference's
+*evaluation/synthesis* loaders read (reference:
+DEX-TTS/src/evaluation.py:29-34, synthesize.py:68-72; the trainer's
+save format, src/train.py:112-122, additionally carries 'optimizer' and
+'scores' — torch-Adam resume state is NOT exported, so the file serves
+inference/fine-tune-init, not bit-exact resume). Trained HiFi-GAN/
 BigVGAN generators become ``{'generator': ...}`` dicts with weight-norm
 parametrization restored, loadable by the reference generators
 (reference: DEX-TTS/hifigan/models.py:112-174, bigvgan/models.py:140-218,
@@ -11,9 +15,10 @@ src/utils.py:251-281).
 
 Every mapping here is the exact inverse of the corresponding function in
 ``convert.py`` (whose layouts are verified against torch modules); the
-test suite asserts flax→torch→flax roundtrips are bitwise and that the
-exported dicts ``load_state_dict(strict=True)`` into the torch twins /
-reference generators.
+test suite asserts TTS flax→torch→flax roundtrips are bitwise, vocoder
+roundtrips are exact up to the f32 weight-norm split/fold rounding, and
+that the exported dicts ``load_state_dict(strict=True)`` into the torch
+twins / reference generators.
 """
 
 from __future__ import annotations
@@ -94,14 +99,15 @@ def _basic_conv(out, p, stats, name, norm=None):
     if norm == "bn":
         out[f"{name}.bn.weight"] = _np(p["BatchNorm_0"]["scale"])
         out[f"{name}.bn.bias"] = _np(p["BatchNorm_0"]["bias"])
-        bn = (stats or {}).get("BatchNorm_0", {})
-        c = out[f"{name}.bn.weight"].shape[0]
-        out[f"{name}.bn.running_mean"] = _np(
-            bn.get("mean", np.zeros(c, np.float32))
-        )
-        out[f"{name}.bn.running_var"] = _np(
-            bn.get("var", np.ones(c, np.float32))
-        )
+        if not stats or "BatchNorm_0" not in stats:
+            # refuse to fabricate identity running stats — a strict torch
+            # load would succeed but eval-mode audio would silently degrade
+            raise KeyError(
+                f"missing BatchNorm running stats (batch_stats) for {name}"
+            )
+        bn = stats["BatchNorm_0"]
+        out[f"{name}.bn.running_mean"] = _np(bn["mean"])
+        out[f"{name}.bn.running_var"] = _np(bn["var"])
         out[f"{name}.bn.num_batches_tracked"] = np.asarray(0, np.int64)
     elif norm == "ln":
         out[f"{name}.ln.weight"] = _np(p["LayerNorm_0"]["scale"])

@@ -1,10 +1,12 @@
 """Export framework-trained checkpoints to reference PyTorch format.
 
 The reverse migration path: a TTS experiment trained here (orbax) becomes a
-reference-format trainer checkpoint ``{'state_dict', 'ema'}`` that the
-reference tooling loads (reference: DEX-TTS/src/train.py:112-122), and a
-vocoder generator becomes a ``{'generator': ...}`` dict with weight-norm
-parametrization restored (reference: DEX-TTS/src/utils.py:251-281).
+``{'state_dict', 'ema'}`` checkpoint that the reference's evaluation and
+synthesis loaders read (reference: DEX-TTS/src/evaluation.py:29-34,
+synthesize.py:68-72; torch-Adam 'optimizer' resume state is not exported —
+see dex_tts_tpu/export.py), and a vocoder generator becomes a
+``{'generator': ...}`` dict with weight-norm parametrization restored
+(reference: DEX-TTS/src/utils.py:251-281).
 
   # TTS experiment → model-export.pth
   python export_torch.py --config cfg.yaml --weight_path checkpoints/VCTK-0
@@ -17,8 +19,6 @@ from __future__ import annotations
 
 import argparse
 import os
-
-import numpy as np
 
 from dex_tts_tpu.config import build_model
 from dex_tts_tpu.export import (
@@ -46,33 +46,12 @@ def parse_args():
 
 
 def export_tts(cfg, exp_dir: str, tag: str, out: str) -> None:
-    from dex_tts_tpu.data import TextMelDataset
+    from dex_tts_tpu.eval.evaluation import build_init_batch
     from dex_tts_tpu.train.checkpoint import CheckpointManager
     from dex_tts_tpu.train.state import create_train_state
 
     model = build_model(cfg)
-    ds = TextMelDataset(
-        cfg.path.val_path,
-        cmu_path=cfg.path.get("cmu_path"),
-        add_blank=cfg.model.get("add_blank", True),
-        load_style=cfg.get("model_family", "dex") == "dex",
-    )
-    item = ds[0]
-    batch = {
-        "x": item["x"][None],
-        "x_lengths": np.asarray([len(item["x"])], np.int32),
-        "y": item["y"][None],
-        "y_lengths": np.asarray([item["y"].shape[1]], np.int32),
-    }
-    if "ref" in item:
-        t = item["ref"].shape[1]
-        batch.update(
-            ref=item["ref"][None], ref_lengths=np.asarray([t], np.int32),
-            sty=item["sty"][None], sty_lengths=np.asarray([t], np.int32),
-            lf0=item["lf0"][None],
-            lf0_lengths=np.asarray([len(item["lf0"])], np.int32),
-        )
-    state, _ = create_train_state(model, batch)
+    state, _ = create_train_state(model, build_init_batch(cfg))
     state = CheckpointManager(os.path.join(exp_dir, "ckpt")).restore(state, tag)
 
     stats = {"batch_stats": state.batch_stats, "vq_stats": state.vq_stats}
@@ -86,7 +65,9 @@ def export_vocoder(cfg, out: str) -> None:
     from dex_tts_tpu.eval.evaluation import load_vocoder
     from dex_tts_tpu.models.vocoder import HiFiGANGenerator
 
-    voc, params = load_vocoder(cfg)
+    # strict: exporting load_vocoder's random-init smoke fallback would
+    # silently ship an untrained generator
+    voc, params = load_vocoder(cfg, strict=True)
     if isinstance(voc, HiFiGANGenerator):
         state = hifigan_flax_to_torch(params, voc.cfg)
     else:
@@ -97,9 +78,16 @@ def export_vocoder(cfg, out: str) -> None:
 
 def main():
     args = parse_args()
+    # pure host-side weight conversion: force the CPU backend so the export
+    # never blocks on the (possibly down) remote-TPU tunnel
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     cfg = Config(args.config)
     if args.vocoder:
-        export_vocoder(cfg, args.out or "./generator-export.pth")
+        out = args.out or "./generator-export.pth"
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        export_vocoder(cfg, out)
     else:
         if not args.weight_path:
             raise SystemExit("--weight_path is required for TTS export")

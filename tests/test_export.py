@@ -170,8 +170,12 @@ def test_hifigan_export_loads_into_reference_generator():
     # and the roundtrip back through the forward converter is bitwise
     # modulo the weight-norm split/fold (float32 re-normalization)
     back = hifigan_torch_to_flax(exported, cfg)
+    assert jax.tree.structure(back) == jax.tree.structure(
+        jax.tree.map(np.asarray, params)
+    )
     for leaf_a, leaf_b in zip(
-        jax.tree.leaves(back), jax.tree.leaves(jax.tree.map(np.asarray, params))
+        jax.tree.leaves(back), jax.tree.leaves(jax.tree.map(np.asarray, params)),
+        strict=True,
     ):
         np.testing.assert_allclose(leaf_a, leaf_b, rtol=1e-6, atol=1e-7)
 

@@ -235,3 +235,25 @@ def test_load_vocoder_zip_checkpoint(tmp_path):
         voc.apply({"params": params}, jnp.asarray(mel.numpy()))
     )
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_load_vocoder_strict_raises_without_checkpoint(tmp_path):
+    """strict=True refuses the random-init smoke fallback (the export CLI
+    uses this so it can never ship untrained generator weights)."""
+    import pytest
+
+    from dex_tts_tpu.eval.evaluation import load_vocoder
+    from dex_tts_tpu.utils import Config
+
+    cfg = Config(
+        {
+            "vocoder": "hifigan",
+            "preprocess": {"n_mels": TINY.num_mels},
+            "path": {"vocoder_path": str(tmp_path)},  # empty dir
+        }
+    )
+    with pytest.raises(FileNotFoundError):
+        load_vocoder(cfg, strict=True)
+    # non-strict still smoke-falls-back
+    voc, params = load_vocoder(cfg)
+    assert params
