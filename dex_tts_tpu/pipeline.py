@@ -36,6 +36,40 @@ from dex_tts_tpu.utils import intersperse
 HOP_LENGTH = 256
 SAMPLE_RATE = 22050
 
+_SENTENCE_END = ".!?;"
+
+
+def split_sentences(text: str, max_chars: int = 400) -> list[str]:
+    """Split a paragraph into sentence-sized chunks for batched synthesis.
+
+    Splits after sentence-final punctuation (keeping it); a chunk still
+    longer than ``max_chars`` is further split at the comma or space
+    nearest its midpoint, recursively. Never returns empty chunks."""
+    out, cur = [], ""
+    for ch in text:
+        cur += ch
+        if ch in _SENTENCE_END:
+            if cur.strip():
+                out.append(cur.strip())
+            cur = ""
+    if cur.strip():
+        out.append(cur.strip())
+
+    def shorten(s: str) -> list[str]:
+        if len(s) <= max_chars:
+            return [s]
+        mid = len(s) // 2
+        for sep in (",", " "):
+            cands = [i for i, c in enumerate(s) if c == sep and 0 < i < len(s) - 1]
+            if cands:
+                cut = min(cands, key=lambda i: abs(i - mid)) + 1
+                left, right = s[:cut].strip(), s[cut:].strip()
+                if left and right:
+                    return shorten(left) + shorten(right)
+        return [s]  # one unbreakable token — let bucketing cap it
+
+    return [c for s in out for c in shorten(s)]
+
 
 def _bucket(n: int, quantum: int, minimum: int = 0) -> int:
     return max(minimum, -(-n // quantum) * quantum)
@@ -56,6 +90,7 @@ class Synthesizer:
         use_ema: bool = False,
         ema_params=None,
         mesh=None,
+        pad_batches: bool = True,
     ):
         """mesh: optional jax.sharding.Mesh — serving-time data parallelism.
         Batch inputs are laid out over the mesh's 'dp' axis (weights
@@ -74,6 +109,12 @@ class Synthesizer:
         self.sampler = sampler or SamplerConfig(num_steps=50)
         self.x_quantum = x_quantum
         self.y_quantum = y_quantum
+        # batch-size bucketing: pad every batch up to a power of two
+        # (repeating the last row; extra results are dropped). Like the
+        # length buckets, this bounds the set of compiled programs — a
+        # micro-batching server otherwise compiles a fresh multi-minute
+        # XLA program for every distinct batch size it happens to collect.
+        self.pad_batches = pad_batches
         self.mel_extractor = MelSpectrogram()
         self.hop = HOP_LENGTH
         if vocoder is not None and hasattr(vocoder, "cfg"):
@@ -250,6 +291,41 @@ class Synthesizer:
             ref_feats, vocode, max_frames, sampler,
         )
 
+    def tts_long(
+        self,
+        text: str,
+        key=None,
+        pause_ms: float = 200.0,
+        max_chars: int = 400,
+        **tts_kwargs,
+    ) -> dict:
+        """Paragraph/article synthesis: split ``text`` into sentences
+        (`split_sentences`), synthesize them as ONE batched call (they
+        co-bucket and saturate the MXU), and concatenate the waveforms
+        with ``pause_ms`` of silence between sentences.
+
+        Per-sentence conditioning (`spk_ids`/`ref_wavs`/`ref_feats`) in
+        ``tts_kwargs`` may be a single value — it is broadcast to every
+        sentence. Returns {"wav", "sentences": [per-sentence dicts]}.
+        """
+        chunks = split_sentences(text, max_chars=max_chars)
+        if not chunks:
+            raise ValueError("no synthesizable text")
+        for k in ("spk_ids", "ref_wavs", "ref_feats"):
+            v = tts_kwargs.get(k)
+            if v is not None and len(v) == 1 and len(chunks) > 1:
+                tts_kwargs[k] = list(v) * len(chunks)
+        results = self.tts(chunks, key=key, **tts_kwargs)
+        if "wav" not in results[0]:
+            return {"sentences": results}
+        gap = np.zeros(int(SAMPLE_RATE * pause_ms / 1e3), np.float32)
+        parts: list[np.ndarray] = []
+        for i, r in enumerate(results):
+            if i:
+                parts.append(gap)
+            parts.append(np.asarray(r["wav"], np.float32))
+        return {"wav": np.concatenate(parts), "sentences": results}
+
     def _tts_batch(self, texts, key, temperature, length_scale, spk_ids,
                    ref_wavs, ref_feats, vocode, max_frames, sampler):
         seqs = [self.prepare_text(t) for t in texts]
@@ -299,6 +375,19 @@ class Synthesizer:
                 lf0_lengths=jnp.asarray(lens),
             )
 
+        if self.pad_batches:
+            b_pad = 1 << (b - 1).bit_length()  # next power of two
+            if b_pad != b:
+                # repeat the last row: padding stays a valid input (masks
+                # and duration prediction see a real sentence), and the
+                # extra rows are dropped from the results below
+                inputs = {
+                    k: jnp.concatenate(
+                        [v, jnp.repeat(v[-1:], b_pad - b, axis=0)]
+                    )
+                    for k, v in inputs.items()
+                }
+
         inputs = self._place(inputs)
 
         # phase 1: duration estimate → frame bucket
@@ -318,6 +407,10 @@ class Synthesizer:
 
         mels = np.asarray(out["mel"])
         lens = np.asarray(out["y_lengths"])
+        # one device→host transfer for the whole batch (slicing the device
+        # array per item would pay a ~30 ms dispatch round-trip per sentence
+        # on a remote-TPU link)
+        wavs = np.asarray(out["wav"]) if with_voc else None
         results = []
         for i in range(b):
             item = {
@@ -325,7 +418,6 @@ class Synthesizer:
                 "n_frames": int(lens[i]),
             }
             if with_voc:
-                wav = np.asarray(out["wav"][i])
-                item["wav"] = wav[: lens[i] * self.hop]
+                item["wav"] = wavs[i, : lens[i] * self.hop]
             results.append(item)
         return results

@@ -14,6 +14,10 @@ dispatch per frame bucket). `TTSRequestHandler`/`make_server` wrap it in
 a dependency-free HTTP JSON API:
 
     POST /tts     {"texts": ["...", ...]}  →  {"wavs": [b64 int16], ...}
+    POST /tts     {"text": "paragraph...", "pause_ms": 200}
+                  → sentences split server-side (pipeline.split_sentences),
+                    synthesized through the same batching queue, and
+                    concatenated into ONE wav with pauses → {"wavs": [b64]}
     GET  /healthz                          →  {"ok": true, ...}
 
 Run via the `serve.py` CLI.
@@ -229,7 +233,18 @@ def make_server(
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
-                texts = req.get("texts") or []
+                long_text = req.get("text")
+                pause_ms = float(req.get("pause_ms", 200.0))
+                if long_text is not None:
+                    if not isinstance(long_text, str) or not long_text.strip():
+                        return self._json(
+                            400, {"error": "text: non-empty string"}
+                        )
+                    from dex_tts_tpu.pipeline import split_sentences
+
+                    texts = split_sentences(long_text)
+                else:
+                    texts = req.get("texts") or []
                 if (
                     not isinstance(texts, list)
                     or not texts
@@ -251,6 +266,15 @@ def make_server(
                 return self._json(500, {"error": repr(e)})
             stats["requests"] += 1
             stats["sentences"] += len(texts)
+            if long_text is not None:
+                # one wav: sentences joined with pause_ms of silence
+                gap = np.zeros(int(sample_rate * pause_ms / 1e3), np.float32)
+                parts = []
+                for i, o in enumerate(outs):
+                    if i:
+                        parts.append(gap)
+                    parts.append(np.asarray(o["wav"], np.float32))
+                outs = [{"wav": np.concatenate(parts)}]
             wavs = [wav_to_b64(o["wav"]) for o in outs]
             audio_s = sum(len(o["wav"]) for o in outs) / sample_rate
             wall = time.monotonic() - t0

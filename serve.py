@@ -56,8 +56,14 @@ def main():
     p.add_argument("--compile_cache", default=None, metavar="DIR",
                    help="persistent XLA compile cache: restart skips the "
                         "~1-3 min first-compile of each bucket (TPU only)")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force a JAX backend (e.g. cpu for a smoke "
+                        "deployment); note some TPU plugins ignore the "
+                        "JAX_PLATFORMS env var, this flag does not")
     args = p.parse_args()
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     cfg = Config(args.config)
     seed_init(args.seed)
     if args.compile_cache:
@@ -90,8 +96,11 @@ def main():
         )
 
     if args.warmup:
+        # warm at max_batch: with batch-size bucketing (pipeline.py) this
+        # compiles the steady-state program; smaller pow2 sizes compile
+        # lazily on light traffic
         print("warmup synthesis ...", flush=True)
-        infer([args.warmup])
+        infer([args.warmup] * max(1, args.max_batch))
 
     batcher = MicroBatcher(
         infer, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,

@@ -41,11 +41,21 @@ def parse_args():
     p.add_argument("--seed", type=int, default=100)
     p.add_argument("--out_dir", default="./synth_out")
     p.add_argument("--checkpoint_tag", default="best-train")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force a JAX backend (some TPU plugins ignore the "
+                        "JAX_PLATFORMS env var; this flag does not)")
+    p.add_argument("--long", action="store_true",
+                   help="treat --input_text as a paragraph: sentence-split, "
+                        "synthesize as one batch, concatenate with pauses")
+    p.add_argument("--pause_ms", type=float, default=200.0,
+                   help="inter-sentence silence for --long")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     cfg = Config(args.config)
     seed_init(args.seed)
     synth, _ = load_synthesizer(
@@ -59,14 +69,25 @@ def main():
     key = jax.random.PRNGKey(args.seed)
     for ref in refs:
         key, sub = jax.random.split(key)
-        out = synth.tts(
-            [args.input_text],
+        common = dict(
             key=sub,
             temperature=args.temperature,
             length_scale=args.length_scale,
             spk_ids=[args.spk_id] if args.spk_id is not None else None,
             ref_wavs=[ref] if ref else None,
-        )[0]
+        )
+        if args.long:
+            # paragraph mode: sentence-split -> one batched call ->
+            # concatenated wav with pauses (pipeline.Synthesizer.tts_long)
+            long_out = synth.tts_long(
+                args.input_text, pause_ms=args.pause_ms, **common
+            )
+            out = {
+                "wav": long_out["wav"],
+                "n_frames": sum(s["n_frames"] for s in long_out["sentences"]),
+            }
+        else:
+            out = synth.tts([args.input_text], **common)[0]
         stem = os.path.splitext(os.path.basename(ref))[0] if ref else "sample"
         path = os.path.join(args.out_dir, f"{stem}.wav")
         write_wav(path, out["wav"])

@@ -261,3 +261,72 @@ def test_tts_dit_cache_interval_knob(synthesizer):
                           n_timesteps=4)
     assert np.isfinite(out[0]["wav"]).all()
     assert synthesizer.sampler == before
+
+
+def test_tts_batch_size_bucketing(synthesizer):
+    """Batch sizes pad up to powers of two (repeating the last row) so a
+    micro-batching server compiles O(log max_batch) programs per bucket
+    pair instead of one per distinct collected size; results keep exactly
+    the requested count."""
+    seen = []
+    orig = synthesizer._place
+
+    def spy(inputs):
+        seen.append(int(next(iter(inputs.values())).shape[0]))
+        return orig(inputs)
+
+    synthesizer._place = spy
+    try:
+        out = synthesizer.tts(
+            ["pad one", "pad two", "pad three"], key=jax.random.PRNGKey(5)
+        )
+    finally:
+        synthesizer._place = orig
+    assert seen == [4]  # 3 → next pow2
+    assert len(out) == 3
+    for item in out:
+        assert np.isfinite(item["wav"]).all()
+
+    # opt-out keeps the exact size
+    seen2 = []
+    synthesizer._place = lambda inputs: (
+        seen2.append(int(next(iter(inputs.values())).shape[0])) or orig(inputs)
+    )
+    synthesizer.pad_batches = False
+    try:
+        out = synthesizer.tts(
+            ["a", "bb", "ccc"], key=jax.random.PRNGKey(6)
+        )
+    finally:
+        synthesizer._place = orig
+        synthesizer.pad_batches = True
+    assert seen2 == [3]
+    assert len(out) == 3
+
+
+def test_split_sentences():
+    from dex_tts_tpu.pipeline import split_sentences
+
+    assert split_sentences("One. Two! Three?") == ["One.", "Two!", "Three?"]
+    # long sentence splits near the midpoint comma, recursively
+    long = ("alpha " * 40 + ", " + "beta " * 40).strip() + "."
+    parts = split_sentences(long, max_chars=120)
+    assert all(len(p) <= 120 for p in parts)
+    assert " ".join(parts).replace(" ,", ",")  # nothing lost
+    assert split_sentences("   ") == []
+    # an unbreakable token longer than max_chars survives as-is
+    assert split_sentences("x" * 50, max_chars=10) == ["x" * 50]
+
+
+def test_tts_long_concatenates_with_pauses(synthesizer):
+    out = synthesizer.tts_long(
+        "Hello there. Nice day!", key=jax.random.PRNGKey(7), pause_ms=100.0
+    )
+    assert len(out["sentences"]) == 2
+    w0 = out["sentences"][0]["wav"]
+    w1 = out["sentences"][1]["wav"]
+    gap = int(22050 * 0.1)
+    assert out["wav"].shape == (len(w0) + gap + len(w1),)
+    # the gap is silent
+    np.testing.assert_array_equal(out["wav"][len(w0):len(w0) + gap], 0.0)
+    assert np.isfinite(out["wav"]).all()

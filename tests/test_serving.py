@@ -320,3 +320,27 @@ def test_submit_after_close_fails_fast():
     fut = mb.submit("late")
     with pytest.raises(RuntimeError, match="shutting down"):
         fut.result(timeout=5)
+
+
+def test_http_long_text_splits_and_concatenates(server):
+    """POST {"text": paragraph} splits into sentences server-side, rides
+    the same batching queue, and returns ONE wav with pause_ms silences."""
+    srv, calls = server
+    port = srv.server_address[1]
+    code, out = _post(
+        port, {"text": "First sentence. Second one! Third?", "pause_ms": 100}
+    )
+    assert code == 200
+    assert len(out["wavs"]) == 1
+    pcm = np.frombuffer(base64.b64decode(out["wavs"][0]), dtype="<i2")
+    gap = int(22050 * 0.1)
+    # 3 fake 100-sample wavs + 2 gaps
+    assert pcm.shape == (3 * 100 + 2 * gap,)
+    # the gaps are silent, the sentences are not
+    assert pcm[100 : 100 + gap].max() == 0
+    assert abs(pcm[0] / 32768.0 - 0.5) < 1e-3
+    # all three sentences went through the batcher (possibly coalesced)
+    assert sum(len(c) for c in calls[-3:]) >= 3
+
+    assert _post(port, {"text": "   "})[0] == 400
+    assert _post(port, {"text": 42})[0] == 400
