@@ -17,6 +17,8 @@ recompiles. Batched inputs saturate the MXU across sentences.
 
 from __future__ import annotations
 
+import re
+
 from functools import partial
 from typing import Sequence
 
@@ -36,24 +38,20 @@ from dex_tts_tpu.utils import intersperse
 HOP_LENGTH = 256
 SAMPLE_RATE = 22050
 
-_SENTENCE_END = ".!?;"
-
 
 def split_sentences(text: str, max_chars: int = 400) -> list[str]:
     """Split a paragraph into sentence-sized chunks for batched synthesis.
 
-    Splits after sentence-final punctuation (keeping it); a chunk still
-    longer than ``max_chars`` is further split at the comma or space
-    nearest its midpoint, recursively. Never returns empty chunks."""
-    out, cur = [], ""
-    for ch in text:
-        cur += ch
-        if ch in _SENTENCE_END:
-            if cur.strip():
-                out.append(cur.strip())
-            cur = ""
-    if cur.strip():
-        out.append(cur.strip())
+    Splits after sentence-final punctuation followed by whitespace (so
+    ellipses stay one chunk and decimals like "3.14" never split); chunks
+    with no word character are dropped. A chunk still longer than
+    ``max_chars`` is further split at the comma or space nearest its
+    midpoint, recursively. Never returns empty chunks."""
+    out = [
+        c.strip()
+        for c in re.split(r"(?<=[.!?;])\s+", text.strip())
+        if re.search(r"\w", c)
+    ]
 
     def shorten(s: str) -> list[str]:
         if len(s) <= max_chars:
@@ -297,25 +295,48 @@ class Synthesizer:
         key=None,
         pause_ms: float = 200.0,
         max_chars: int = 400,
+        max_batch: int = 16,
         **tts_kwargs,
     ) -> dict:
         """Paragraph/article synthesis: split ``text`` into sentences
-        (`split_sentences`), synthesize them as ONE batched call (they
-        co-bucket and saturate the MXU), and concatenate the waveforms
-        with ``pause_ms`` of silence between sentences.
+        (`split_sentences`), synthesize them in batched calls of up to
+        ``max_batch`` (they co-bucket and saturate the MXU; the cap keeps
+        the compiled-program set and activation footprint bounded for
+        arbitrarily long articles), and concatenate the waveforms with
+        ``pause_ms`` of silence between sentences.
 
         Per-sentence conditioning (`spk_ids`/`ref_wavs`/`ref_feats`) in
         ``tts_kwargs`` may be a single value — it is broadcast to every
-        sentence. Returns {"wav", "sentences": [per-sentence dicts]}.
+        sentence (a single reference wav is preprocessed once, not per
+        sentence). Returns {"wav", "sentences": [per-sentence dicts]}.
         """
         chunks = split_sentences(text, max_chars=max_chars)
         if not chunks:
             raise ValueError("no synthesizable text")
+        n = len(chunks)
+        # a single reference wav: trim/resample/mel/lf0 ONCE, then share
+        # the prepared features across every sentence
+        if tts_kwargs.get("ref_wavs") is not None and len(
+            tts_kwargs["ref_wavs"]
+        ) == 1:
+            tts_kwargs["ref_feats"] = [
+                self.prepare_reference(tts_kwargs.pop("ref_wavs")[0])
+            ]
         for k in ("spk_ids", "ref_wavs", "ref_feats"):
             v = tts_kwargs.get(k)
-            if v is not None and len(v) == 1 and len(chunks) > 1:
-                tts_kwargs[k] = list(v) * len(chunks)
-        results = self.tts(chunks, key=key, **tts_kwargs)
+            if v is not None and len(v) == 1 and n > 1:
+                tts_kwargs[k] = list(v) * n
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        results: list[dict] = []
+        for lo in range(0, n, max(1, max_batch)):
+            hi = min(n, lo + max(1, max_batch))
+            key, sub = jax.random.split(key)
+            group_kwargs = dict(tts_kwargs)
+            for k in ("spk_ids", "ref_wavs", "ref_feats"):
+                if group_kwargs.get(k) is not None:
+                    group_kwargs[k] = group_kwargs[k][lo:hi]
+            results.extend(self.tts(chunks[lo:hi], key=sub, **group_kwargs))
         if "wav" not in results[0]:
             return {"sentences": results}
         gap = np.zeros(int(SAMPLE_RATE * pause_ms / 1e3), np.float32)
@@ -377,6 +398,10 @@ class Synthesizer:
 
         if self.pad_batches:
             b_pad = 1 << (b - 1).bit_length()  # next power of two
+            if self.mesh is not None:
+                # keep _place's divisibility contract for non-pow2 dp sizes
+                dp = self.mesh.shape["dp"]
+                b_pad = -(-b_pad // dp) * dp
             if b_pad != b:
                 # repeat the last row: padding stays a valid input (masks
                 # and duration prediction see a real sentence), and the
@@ -413,11 +438,14 @@ class Synthesizer:
         wavs = np.asarray(out["wav"]) if with_voc else None
         results = []
         for i in range(b):
+            # .copy(): the slices are views into the whole (padded) batch
+            # transfer — a caller keeping one short sentence must not pin
+            # the full batch buffer alive
             item = {
-                "mel": mels[i, :, : lens[i]],
+                "mel": mels[i, :, : lens[i]].copy(),
                 "n_frames": int(lens[i]),
             }
             if with_voc:
-                item["wav"] = wavs[i, : lens[i] * self.hop]
+                item["wav"] = wavs[i, : lens[i] * self.hop].copy()
             results.append(item)
         return results

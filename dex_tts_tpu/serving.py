@@ -234,12 +234,23 @@ def make_server(
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
                 long_text = req.get("text")
-                pause_ms = float(req.get("pause_ms", 200.0))
+                pause_ms = 200.0
                 if long_text is not None:
                     if not isinstance(long_text, str) or not long_text.strip():
                         return self._json(
                             400, {"error": "text: non-empty string"}
                         )
+                    raw_pause = req.get("pause_ms", 200.0)
+                    if (
+                        not isinstance(raw_pause, (int, float))
+                        or isinstance(raw_pause, bool)
+                        or not 0 <= raw_pause <= 10_000
+                    ):
+                        return self._json(
+                            400,
+                            {"error": "pause_ms: number in [0, 10000]"},
+                        )
+                    pause_ms = float(raw_pause)
                     from dex_tts_tpu.pipeline import split_sentences
 
                     texts = split_sentences(long_text)

@@ -67,9 +67,14 @@ def main():
     cfg = Config(args.config)
     seed_init(args.seed)
     if args.compile_cache:
-        from dex_tts_tpu.utils.compile_cache import enable_compile_cache
+        if args.platform == "cpu" or jax.default_backend() == "cpu":
+            # stale CPU AOT cache entries SIGILL on reload (see CLAUDE.md) —
+            # the persistent cache is a TPU-only optimization
+            print("--compile_cache ignored on the cpu backend", flush=True)
+        else:
+            from dex_tts_tpu.utils.compile_cache import enable_compile_cache
 
-        enable_compile_cache(args.compile_cache)
+            enable_compile_cache(args.compile_cache)
     synth, _ = load_synthesizer(
         cfg, args.weight_path, n_timesteps=args.n_timesteps,
         dit_cache_interval=args.dit_cache_interval,

@@ -308,11 +308,17 @@ def test_split_sentences():
     from dex_tts_tpu.pipeline import split_sentences
 
     assert split_sentences("One. Two! Three?") == ["One.", "Two!", "Three?"]
-    # long sentence splits near the midpoint comma, recursively
+    # ellipses stay one chunk; decimals and abbreviations never split
+    assert split_sentences("Wait... what?") == ["Wait...", "what?"]
+    assert split_sentences("Pi is 3.14. Nice.") == ["Pi is 3.14.", "Nice."]
+    # punctuation-only fragments are dropped
+    assert split_sentences("!? . Hello.") == ["Hello."]
+    # long sentence splits near the midpoint comma, recursively;
+    # nothing is lost or duplicated
     long = ("alpha " * 40 + ", " + "beta " * 40).strip() + "."
     parts = split_sentences(long, max_chars=120)
     assert all(len(p) <= 120 for p in parts)
-    assert " ".join(parts).replace(" ,", ",")  # nothing lost
+    assert "".join(p.replace(" ", "") for p in parts) == long.replace(" ", "")
     assert split_sentences("   ") == []
     # an unbreakable token longer than max_chars survives as-is
     assert split_sentences("x" * 50, max_chars=10) == ["x" * 50]
@@ -329,4 +335,28 @@ def test_tts_long_concatenates_with_pauses(synthesizer):
     assert out["wav"].shape == (len(w0) + gap + len(w1),)
     # the gap is silent
     np.testing.assert_array_equal(out["wav"][len(w0):len(w0) + gap], 0.0)
+    assert np.isfinite(out["wav"]).all()
+
+
+def test_tts_long_chunks_to_max_batch(synthesizer):
+    """An article longer than max_batch sentences synthesizes in bounded
+    batches (compiled-program set stays bounded) and still returns every
+    sentence in order."""
+    text = " ".join(f"Sentence number {i} here." for i in range(5))
+    calls = []
+    orig = synthesizer.tts
+
+    def spy(texts, **kw):
+        calls.append(len(texts))
+        return orig(texts, **kw)
+
+    synthesizer.tts = spy
+    try:
+        out = synthesizer.tts_long(
+            text, key=jax.random.PRNGKey(8), max_batch=2, pause_ms=50.0
+        )
+    finally:
+        synthesizer.tts = orig
+    assert calls == [2, 2, 1]
+    assert len(out["sentences"]) == 5
     assert np.isfinite(out["wav"]).all()

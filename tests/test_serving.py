@@ -344,3 +344,15 @@ def test_http_long_text_splits_and_concatenates(server):
 
     assert _post(port, {"text": "   "})[0] == 400
     assert _post(port, {"text": 42})[0] == 400
+
+
+def test_http_long_text_pause_ms_validation(server):
+    srv, _ = server
+    port = srv.server_address[1]
+    assert _post(port, {"text": "Hi.", "pause_ms": None})[0] == 400
+    assert _post(port, {"text": "Hi.", "pause_ms": -5})[0] == 400
+    assert _post(port, {"text": "Hi.", "pause_ms": 1e12})[0] == 400
+    assert _post(port, {"text": "Hi.", "pause_ms": True})[0] == 400
+    # pause_ms is ignored (not validated) on the texts path
+    assert _post(port, {"texts": ["ok"], "pause_ms": "junk"})[0] == 200
+    assert _post(port, {"text": "Hi.", "pause_ms": 0})[0] == 200
