@@ -23,6 +23,7 @@ from dex_tts_tpu.eval.metric import (
     SpeakerScorer,
     cer,
     mean_and_stderr,
+    mel_cepstral_distortion,
     mel_mae,
     wer,
 )
@@ -301,7 +302,7 @@ def run_objective_eval(
 
     asr = asr if asr is not None else ASRScorer()
     spk_scorer = spk_scorer if spk_scorer is not None else SpeakerScorer()
-    maes, wers, cers, coss = [], [], [], []
+    maes, mcds, wers, cers, coss = [], [], [], [], []
 
     if test_file:
         with open(test_file) as f:
@@ -327,6 +328,7 @@ def run_objective_eval(
         write_wav(wav_path, out["wav"])
         if "y" in item:
             maes.append(mel_mae(item["y"], out["mel"]))
+            mcds.append(mel_cepstral_distortion(item["y"], out["mel"]))
         gt_path = gt_wav_path(item.get("filepath", ""))
         if not (gt_path and os.path.isfile(gt_path)):
             gt_path = ""
@@ -355,7 +357,8 @@ def run_objective_eval(
                 coss.append(cos)
 
     report = {}
-    for name, vals in [("mel_mae", maes), ("wer", wers), ("cer", cers), ("cos", coss)]:
+    for name, vals in [("mel_mae", maes), ("mcd", mcds), ("wer", wers),
+                       ("cer", cers), ("cos", coss)]:
         if vals:
             mean, se = mean_and_stderr(vals)
             report[name] = (mean, se)

@@ -22,6 +22,65 @@ def mel_mae(a: np.ndarray, b: np.ndarray) -> float:
     return float(np.mean(np.abs(a[..., :t] - b[..., :t])))
 
 
+def mel_to_cepstra(log_mel: np.ndarray, n_coeffs: int = 13) -> np.ndarray:
+    """(n_mels, T) log-mel → (T, n_coeffs) cepstra via an orthonormal
+    DCT-II over the mel axis, dropping c0 (frame energy) — the standard
+    MCD feature (mel-cepstra; computed from the log-mel rather than WORLD
+    MCEPs, the common spectrogram-model convention)."""
+    n_mels = log_mel.shape[0]
+    k = np.arange(n_coeffs + 1)[:, None]
+    basis = np.cos(
+        np.pi * k * (2 * np.arange(n_mels)[None, :] + 1) / (2 * n_mels)
+    ) * np.sqrt(2.0 / n_mels)
+    return (basis @ np.asarray(log_mel, np.float64)).T[:, 1:]
+
+
+def _dtw_mean_distance(a: np.ndarray, b: np.ndarray) -> float:
+    """Mean per-step euclidean distance along the optimal DTW path between
+    feature sequences a (Ta, D) and b (Tb, D)."""
+    dist = np.sqrt(
+        ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    )  # (Ta, Tb)
+    ta, tb = dist.shape
+    acc = np.full((ta + 1, tb + 1), np.inf)
+    acc[0, 0] = 0.0
+    for i in range(1, ta + 1):
+        row = dist[i - 1]
+        prev = acc[i - 1]
+        cur = acc[i]
+        cur[0] = np.inf
+        left = np.inf
+        for j in range(1, tb + 1):
+            left = row[j - 1] + min(prev[j], prev[j - 1], left)
+            cur[j] = left
+    # path length by backtrace (MCD averages over DTW steps)
+    i, j, steps = ta, tb, 0
+    while i > 1 or j > 1:
+        steps += 1
+        moves = ((acc[i - 1, j - 1], i - 1, j - 1),
+                 (acc[i - 1, j], i - 1, j),
+                 (acc[i, j - 1], i, j - 1))
+        _, i, j = min(moves, key=lambda m: m[0])
+    return float(acc[ta, tb] / (steps + 1))
+
+
+_MCD_SCALE = 10.0 * np.sqrt(2.0) / np.log(10.0)
+
+
+def mel_cepstral_distortion(
+    mel_ref: np.ndarray, mel_syn: np.ndarray, n_coeffs: int = 13
+) -> float:
+    """MCD (dB) between two (n_mels, T) log-mels, DTW-aligned — the
+    standard objective spectral-quality metric (lower is better; the
+    reference repo reports CER/WER/COS only, this is framework-added).
+    MCD = 10·√2/ln10 · mean_path ‖Δcepstra‖₂."""
+    ca = mel_to_cepstra(mel_ref, n_coeffs)
+    cb = mel_to_cepstra(mel_syn, n_coeffs)
+    if len(ca) == 0 or len(cb) == 0:
+        return float("nan")
+    return _MCD_SCALE * _dtw_mean_distance(ca, cb)
+
+
 def _edit_distance(ref: list, hyp: list) -> int:
     """Levenshtein distance (insert/delete/substitute, all cost 1)."""
     m, n = len(ref), len(hyp)

@@ -47,6 +47,9 @@ def parse_args():
                    help="warm-start params/EMA from a reference-format "
                         "torch checkpoint (.pth file or reference "
                         "experiment dir); optimizer state starts fresh")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force a JAX backend (some TPU plugins ignore the "
+                        "JAX_PLATFORMS env var; this flag does not)")
     return p.parse_args()
 
 
@@ -299,6 +302,8 @@ def test(args):
 
 if __name__ == "__main__":
     a = parse_args()
+    if getattr(a, "platform", None):
+        jax.config.update("jax_platforms", a.platform)
     if a.action == "train":
         train(a)
     else:

@@ -156,6 +156,7 @@ def test_train_and_eval_end_to_end(tmp_path, family, monkeypatch):
     )
     assert "mel_mae" in report
     assert np.isfinite(report["mel_mae"][0])
+    assert "mcd" in report and report["mcd"][0] > 0  # DTW spectral metric
     for name in ("wer", "cer", "cos"):
         assert name in report, report
     assert report["cos"][0] == pytest.approx(0.87)

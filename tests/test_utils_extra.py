@@ -103,3 +103,29 @@ def test_compile_cache_gated_by_backend(tmp_path):
         jax.config.update(
             "jax_persistent_cache_min_entry_size_bytes", prev_size
         )
+
+
+def test_mel_cepstral_distortion():
+    from dex_tts_tpu.eval.metric import mel_cepstral_distortion, mel_to_cepstra
+
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((80, 60)).astype(np.float32)
+
+    # identity → 0
+    assert mel_cepstral_distortion(mel, mel) == 0.0
+
+    # cepstra shape and c0 (energy) removal: a constant offset over the
+    # mel axis only moves c0, so MCD is invariant to global gain
+    cep = mel_to_cepstra(mel)
+    assert cep.shape == (60, 13)
+    assert abs(mel_cepstral_distortion(mel, mel + 3.0)) < 1e-4
+
+    # spectral noise → positive, monotone in noise scale
+    small = mel_cepstral_distortion(mel, mel + 0.1 * rng.standard_normal(mel.shape))
+    large = mel_cepstral_distortion(mel, mel + 1.0 * rng.standard_normal(mel.shape))
+    assert 0 < small < large
+
+    # DTW absorbs a pure time-stretch: doubling every frame barely moves
+    # the score while a same-length comparison of misaligned content would
+    stretched = np.repeat(mel, 2, axis=1)
+    assert mel_cepstral_distortion(mel, stretched) < 1e-4
