@@ -289,6 +289,67 @@ class Synthesizer:
             ref_feats, vocode, max_frames, sampler,
         )
 
+    def tts_stream(
+        self,
+        text: str,
+        key=None,
+        max_chars: int = 400,
+        max_batch: int = 16,
+        first_batch: int = 1,
+        **tts_kwargs,
+    ):
+        """Incremental long-form synthesis: a generator yielding one
+        result dict per sentence, in order, as its batch completes.
+
+        Sentence batches ramp ``first_batch → 2x → … → max_batch``, so the
+        first audio is ready after a single small synthesis instead of a
+        full-article batch (time-to-first-audio), while the tail still
+        rides MXU-saturating batches (throughput). Each yielded dict is a
+        `tts` result plus ``index`` (sentence position) and ``text``.
+
+        Per-sentence conditioning (`spk_ids`/`ref_wavs`/`ref_feats`) in
+        ``tts_kwargs`` may be a single value — it is broadcast to every
+        sentence (a single reference wav is preprocessed once, not per
+        sentence)."""
+        chunks = split_sentences(text, max_chars=max_chars)
+        if not chunks:
+            raise ValueError("no synthesizable text")
+        n = len(chunks)
+        tts_kwargs = dict(tts_kwargs)
+        # a single reference wav: trim/resample/mel/lf0 ONCE, then share
+        # the prepared features across every sentence
+        if tts_kwargs.get("ref_wavs") is not None and len(
+            tts_kwargs["ref_wavs"]
+        ) == 1:
+            tts_kwargs["ref_feats"] = [
+                self.prepare_reference(tts_kwargs.pop("ref_wavs")[0])
+            ]
+        for k in ("spk_ids", "ref_wavs", "ref_feats"):
+            v = tts_kwargs.get(k)
+            if v is not None and len(v) == 1 and n > 1:
+                tts_kwargs[k] = list(v) * n
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        max_batch = max(1, max_batch)
+        size = max(1, min(first_batch, max_batch))
+        lo = 0
+        while lo < n:
+            hi = min(n, lo + size)
+            key, sub = jax.random.split(key)
+            group_kwargs = dict(tts_kwargs)
+            for k in ("spk_ids", "ref_wavs", "ref_feats"):
+                if group_kwargs.get(k) is not None:
+                    group_kwargs[k] = group_kwargs[k][lo:hi]
+            for i, r in enumerate(
+                self.tts(chunks[lo:hi], key=sub, **group_kwargs)
+            ):
+                r = dict(r)
+                r["index"] = lo + i
+                r["text"] = chunks[lo + i]
+                yield r
+            lo = hi
+            size = min(max_batch, size * 2)
+
     def tts_long(
         self,
         text: str,
@@ -305,38 +366,20 @@ class Synthesizer:
         arbitrarily long articles), and concatenate the waveforms with
         ``pause_ms`` of silence between sentences.
 
-        Per-sentence conditioning (`spk_ids`/`ref_wavs`/`ref_feats`) in
-        ``tts_kwargs`` may be a single value — it is broadcast to every
-        sentence (a single reference wav is preprocessed once, not per
-        sentence). Returns {"wav", "sentences": [per-sentence dicts]}.
+        Built on `tts_stream` with the ramp disabled (``first_batch =
+        max_batch``): offline synthesis wants full batches from the start.
+        Returns {"wav", "sentences": [per-sentence dicts]}.
         """
-        chunks = split_sentences(text, max_chars=max_chars)
-        if not chunks:
-            raise ValueError("no synthesizable text")
-        n = len(chunks)
-        # a single reference wav: trim/resample/mel/lf0 ONCE, then share
-        # the prepared features across every sentence
-        if tts_kwargs.get("ref_wavs") is not None and len(
-            tts_kwargs["ref_wavs"]
-        ) == 1:
-            tts_kwargs["ref_feats"] = [
-                self.prepare_reference(tts_kwargs.pop("ref_wavs")[0])
-            ]
-        for k in ("spk_ids", "ref_wavs", "ref_feats"):
-            v = tts_kwargs.get(k)
-            if v is not None and len(v) == 1 and n > 1:
-                tts_kwargs[k] = list(v) * n
-        if key is None:
-            key = jax.random.PRNGKey(0)
-        results: list[dict] = []
-        for lo in range(0, n, max(1, max_batch)):
-            hi = min(n, lo + max(1, max_batch))
-            key, sub = jax.random.split(key)
-            group_kwargs = dict(tts_kwargs)
-            for k in ("spk_ids", "ref_wavs", "ref_feats"):
-                if group_kwargs.get(k) is not None:
-                    group_kwargs[k] = group_kwargs[k][lo:hi]
-            results.extend(self.tts(chunks[lo:hi], key=sub, **group_kwargs))
+        results = list(
+            self.tts_stream(
+                text,
+                key=key,
+                max_chars=max_chars,
+                max_batch=max_batch,
+                first_batch=max_batch,
+                **tts_kwargs,
+            )
+        )
         if "wav" not in results[0]:
             return {"sentences": results}
         gap = np.zeros(int(SAMPLE_RATE * pause_ms / 1e3), np.float32)

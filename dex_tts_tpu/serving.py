@@ -18,6 +18,14 @@ a dependency-free HTTP JSON API:
                   → sentences split server-side (pipeline.split_sentences),
                     synthesized through the same batching queue, and
                     concatenated into ONE wav with pauses → {"wavs": [b64]}
+    POST /tts_stream  {"text": "paragraph...", "pause_ms": 200}
+                  → chunked NDJSON stream: one {"i", "pcm", "samples"}
+                    line per sentence as it is synthesized (first audio
+                    after ONE small batch, not the whole article — waves
+                    ramp 1→2→4→…→max_batch), then a final {"done": true}
+                    line with totals. Wave k+1 is submitted before wave
+                    k's audio is written, so synthesis overlaps the
+                    network I/O.
     GET  /healthz                          →  {"ok": true, ...}
 
 Run via the `serve.py` CLI.
@@ -203,6 +211,9 @@ def make_server(
     srv_info = dict(info or {})
 
     class TTSRequestHandler(BaseHTTPRequestHandler):
+        # chunked transfer encoding (the /tts_stream response) requires 1.1
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *a):  # quiet
             pass
 
@@ -227,7 +238,15 @@ def make_server(
                 },
             )
 
+        def _write_chunk(self, data: bytes):
+            """One HTTP/1.1 chunked-transfer frame (http.server does not
+            chunk for us)."""
+            self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+            self.wfile.flush()
+
         def do_POST(self):
+            if self.path == "/tts_stream":
+                return self._tts_stream()
             if self.path != "/tts":
                 return self._json(404, {"error": "not found"})
             try:
@@ -298,5 +317,112 @@ def make_server(
                     "rtf": round(wall / audio_s, 5) if audio_s else None,
                 },
             )
+
+        def _tts_stream(self):
+            """Chunked NDJSON streaming synthesis of one long text.
+
+            Sentences go through the shared MicroBatcher in ramped waves
+            (1, 2, 4, … max_batch): the first audio line is written after
+            a single-sentence batch instead of the full article, and wave
+            k+1 is already queued while wave k's PCM is on the wire, so
+            the device never idles behind the socket."""
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError) as e:
+                return self._json(400, {"error": str(e)})
+            text = req.get("text")
+            if not isinstance(text, str) or not text.strip():
+                return self._json(400, {"error": "text: non-empty string"})
+            raw_pause = req.get("pause_ms", 200.0)
+            if (
+                not isinstance(raw_pause, (int, float))
+                or isinstance(raw_pause, bool)
+                or not 0 <= raw_pause <= 10_000
+            ):
+                return self._json(
+                    400, {"error": "pause_ms: number in [0, 10000]"}
+                )
+            pause = np.zeros(
+                int(sample_rate * float(raw_pause) / 1e3), np.float32
+            )
+            from dex_tts_tpu.pipeline import split_sentences
+
+            sentences = split_sentences(text)
+            if not sentences:
+                return self._json(400, {"error": "no synthesizable text"})
+
+            waves, lo, size = [], 0, 1
+            while lo < len(sentences):
+                hi = min(len(sentences), lo + size)
+                waves.append((lo, hi))
+                lo, size = hi, min(max(batcher.max_batch, 1), size * 2)
+
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.send_header("X-Sample-Rate", str(sample_rate))
+            self.end_headers()
+
+            t0 = time.monotonic()
+            total_samples = 0
+            futs = [
+                batcher.submit(s)
+                for s in sentences[waves[0][0] : waves[0][1]]
+            ]
+            try:
+                for k, (lo, hi) in enumerate(waves):
+                    outs = [f.result(timeout=600) for f in futs]
+                    if k + 1 < len(waves):
+                        nlo, nhi = waves[k + 1]
+                        futs = [
+                            batcher.submit(s) for s in sentences[nlo:nhi]
+                        ]
+                    for i, o in zip(range(lo, hi), outs):
+                        wav = np.asarray(o["wav"], np.float32)
+                        if i and pause.size:
+                            wav = np.concatenate([pause, wav])
+                        total_samples += wav.size
+                        self._write_chunk(
+                            json.dumps(
+                                {
+                                    "i": i,
+                                    "pcm": wav_to_b64(wav),
+                                    "samples": int(wav.size),
+                                }
+                            ).encode()
+                            + b"\n"
+                        )
+                stats["requests"] += 1
+                stats["sentences"] += len(sentences)
+                audio_s = total_samples / sample_rate
+                wall = time.monotonic() - t0
+                self._write_chunk(
+                    json.dumps(
+                        {
+                            "done": True,
+                            "sentences": len(sentences),
+                            "sample_rate": sample_rate,
+                            "audio_seconds": round(audio_s, 3),
+                            "rtf": (
+                                round(wall / audio_s, 5) if audio_s else None
+                            ),
+                        }
+                    ).encode()
+                    + b"\n"
+                )
+            except Exception as e:
+                # the 200 header is already on the wire — report the
+                # failure in-band as the stream's last line
+                try:
+                    self._write_chunk(
+                        json.dumps({"error": repr(e)}).encode() + b"\n"
+                    )
+                except OSError:
+                    pass
+            try:
+                self.wfile.write(b"0\r\n\r\n")  # end of chunked stream
+            except OSError:
+                pass
 
     return ThreadingHTTPServer((host, port), TTSRequestHandler)

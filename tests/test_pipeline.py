@@ -360,3 +360,43 @@ def test_tts_long_chunks_to_max_batch(synthesizer):
     assert calls == [2, 2, 1]
     assert len(out["sentences"]) == 5
     assert np.isfinite(out["wav"]).all()
+
+
+def test_tts_stream_ramps_batches_and_orders_sentences(synthesizer):
+    """Streaming synthesis: batch sizes ramp first_batch -> 2x -> ... ->
+    max_batch (fast first audio), sentences come back in order with
+    index/text attached, and with the ramp disabled the outputs are
+    bitwise those of tts_long (same key -> same RNG split sequence)."""
+    text = " ".join(f"Sentence number {i} here." for i in range(5))
+    calls = []
+    orig = synthesizer.tts
+
+    def spy(texts, **kw):
+        calls.append(len(texts))
+        return orig(texts, **kw)
+
+    synthesizer.tts = spy
+    try:
+        outs = list(
+            synthesizer.tts_stream(
+                text, key=jax.random.PRNGKey(9), max_batch=2
+            )
+        )
+    finally:
+        synthesizer.tts = orig
+    assert calls == [1, 2, 2]  # ramp 1 -> 2 -> 2
+    assert [o["index"] for o in outs] == list(range(5))
+    assert all(o["text"].startswith("Sentence number") for o in outs)
+    assert all(np.isfinite(o["wav"]).all() for o in outs)
+
+    # ramp off == tts_long's batching: identical waveforms per sentence
+    streamed = list(
+        synthesizer.tts_stream(
+            text, key=jax.random.PRNGKey(8), max_batch=2, first_batch=2
+        )
+    )
+    long_out = synthesizer.tts_long(
+        text, key=jax.random.PRNGKey(8), max_batch=2, pause_ms=50.0
+    )
+    for s, l in zip(streamed, long_out["sentences"]):
+        np.testing.assert_array_equal(s["wav"], l["wav"])

@@ -356,3 +356,85 @@ def test_http_long_text_pause_ms_validation(server):
     # pause_ms is ignored (not validated) on the texts path
     assert _post(port, {"texts": ["ok"], "pause_ms": "junk"})[0] == 200
     assert _post(port, {"text": "Hi.", "pause_ms": 0})[0] == 200
+
+
+def _post_stream(port, payload, timeout=30):
+    """POST to /tts_stream, return (status, [parsed NDJSON lines])."""
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/tts_stream",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, [json.loads(l) for l in r if l.strip()]
+    except urllib.error.HTTPError as e:
+        return e.code, [json.loads(e.read())]
+
+
+def test_http_tts_stream():
+    """Streaming endpoint: one NDJSON pcm line per sentence in order,
+    ramped waves (first batch is a single sentence), pauses prepended to
+    every chunk but the first, and a final done line with totals."""
+    calls = []
+    b = MicroBatcher(slow_infer(calls), max_batch=8, max_wait_ms=20)
+    srv = make_server(b, port=0, sample_rate=22050)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        code, lines = _post_stream(
+            port,
+            {"text": "One here. Two here! Three here? Four here.",
+             "pause_ms": 100},
+        )
+        assert code == 200
+        gap = int(22050 * 0.1)
+        body, done = lines[:-1], lines[-1]
+        assert [l["i"] for l in body] == [0, 1, 2, 3]
+        assert done["done"] and done["sentences"] == 4
+        assert done["sample_rate"] == 22050 and done["rtf"] is not None
+        # chunk 0: bare sentence; chunks 1..: gap + sentence
+        pcm0 = np.frombuffer(base64.b64decode(body[0]["pcm"]), dtype="<i2")
+        assert pcm0.shape == (100,) and body[0]["samples"] == 100
+        pcm1 = np.frombuffer(base64.b64decode(body[1]["pcm"]), dtype="<i2")
+        assert pcm1.shape == (100 + gap,)
+        assert pcm1[:gap].max() == 0 and abs(pcm1[gap] / 32768 - 0.5) < 1e-3
+        assert done["audio_seconds"] == round((4 * 100 + 3 * gap) / 22050, 3)
+        # ramped waves: the first dispatched batch is exactly one sentence
+        assert calls[0] == ["One here."]
+        assert sum(len(c) for c in calls) == 4
+        # the stream shares the /tts machinery: stats account for it
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=10
+        ) as r:
+            h = json.loads(r.read())
+        assert h["sentences"] == 4
+
+        # validation errors arrive as plain JSON with a 400
+        assert _post_stream(port, {})[0] == 400
+        assert _post_stream(port, {"text": "   "})[0] == 400
+        assert _post_stream(port, {"text": "Hi.", "pause_ms": -1})[0] == 400
+    finally:
+        srv.shutdown()
+        b.close()
+
+
+def test_http_tts_stream_inband_error():
+    """A synthesis failure after the 200 header is reported as a final
+    in-band {"error": ...} line, not a hung connection."""
+    def boom(texts):
+        raise RuntimeError("graph exploded")
+
+    b = MicroBatcher(boom, max_batch=4, max_wait_ms=10)
+    srv = make_server(b, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        code, lines = _post_stream(port, {"text": "Boom now."}, timeout=60)
+        assert code == 200
+        assert "error" in lines[-1] and "graph exploded" in lines[-1]["error"]
+    finally:
+        srv.shutdown()
+        b.close()
