@@ -208,7 +208,15 @@ def make_server(
     futures; batching happens in the worker regardless of which thread
     carried which request."""
     stats = {"requests": 0, "sentences": 0}
+    # rolling window of per-request wall-clock → p50/p95 in /healthz
+    from collections import deque
+
+    latencies: deque = deque(maxlen=200)
     srv_info = dict(info or {})
+
+    def _percentile(sorted_vals: list, q: float) -> float:
+        i = min(len(sorted_vals) - 1, int(q * len(sorted_vals)))
+        return sorted_vals[i]
 
     class TTSRequestHandler(BaseHTTPRequestHandler):
         # chunked transfer encoding (the /tts_stream response) requires 1.1
@@ -228,12 +236,25 @@ def make_server(
         def do_GET(self):
             if self.path != "/healthz":
                 return self._json(404, {"error": "not found"})
+            lat = sorted(latencies)
             self._json(
                 200,
                 {
                     "ok": True,
                     "batch_sizes": batcher.batch_sizes[-20:],
                     **stats,
+                    **(
+                        {
+                            "latency_p50_ms": round(
+                                _percentile(lat, 0.50) * 1e3, 1
+                            ),
+                            "latency_p95_ms": round(
+                                _percentile(lat, 0.95) * 1e3, 1
+                            ),
+                        }
+                        if lat
+                        else {}
+                    ),
                     **srv_info,
                 },
             )
@@ -308,6 +329,7 @@ def make_server(
             wavs = [wav_to_b64(o["wav"]) for o in outs]
             audio_s = sum(len(o["wav"]) for o in outs) / sample_rate
             wall = time.monotonic() - t0
+            latencies.append(wall)
             self._json(
                 200,
                 {
@@ -397,6 +419,7 @@ def make_server(
                 stats["sentences"] += len(sentences)
                 audio_s = total_samples / sample_rate
                 wall = time.monotonic() - t0
+                latencies.append(wall)
                 self._write_chunk(
                     json.dumps(
                         {

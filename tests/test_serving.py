@@ -438,3 +438,18 @@ def test_http_tts_stream_inband_error():
     finally:
         srv.shutdown()
         b.close()
+
+
+def test_healthz_latency_percentiles(server):
+    """After served requests, /healthz reports rolling p50/p95 request
+    latency (production observability; absent before any request)."""
+    srv, _ = server
+    port = srv.server_address[1]
+    for _ in range(3):
+        assert _post(port, {"texts": ["tick"]})[0] == 200
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/healthz", timeout=10
+    ) as r:
+        h = json.loads(r.read())
+    assert h["latency_p50_ms"] > 0
+    assert h["latency_p95_ms"] >= h["latency_p50_ms"]
