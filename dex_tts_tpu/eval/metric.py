@@ -37,22 +37,33 @@ def mel_to_cepstra(log_mel: np.ndarray, n_coeffs: int = 13) -> np.ndarray:
 
 def _dtw_mean_distance(a: np.ndarray, b: np.ndarray) -> float:
     """Mean per-step euclidean distance along the optimal DTW path between
-    feature sequences a (Ta, D) and b (Tb, D)."""
-    dist = np.sqrt(
-        ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
-    )  # (Ta, Tb)
+    feature sequences a (Ta, D) and b (Tb, D).
+
+    Pairwise distances are computed in row blocks (bounded temp memory —
+    the full (Ta,Tb,D) float64 broadcast would transiently cost hundreds
+    of MB at 2048-frame mels; the |a|²−2ab form is avoided because its
+    rounding breaks dist(x,x)==0 exactly) and the DP recurrence is
+    vectorized over anti-diagonals — cells (i,j) with i+j=s depend only on
+    diagonals s−1 and s−2, so each wavefront is one elementwise minimum
+    (Ta+Tb numpy steps instead of Ta·Tb Python iterations)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    dist = np.empty((a.shape[0], b.shape[0]))  # (Ta, Tb)
+    block = 256
+    for lo in range(0, a.shape[0], block):
+        chunk = a[lo : lo + block]
+        dist[lo : lo + block] = np.sqrt(
+            ((chunk[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+        )
     ta, tb = dist.shape
     acc = np.full((ta + 1, tb + 1), np.inf)
     acc[0, 0] = 0.0
-    for i in range(1, ta + 1):
-        row = dist[i - 1]
-        prev = acc[i - 1]
-        cur = acc[i]
-        cur[0] = np.inf
-        left = np.inf
-        for j in range(1, tb + 1):
-            left = row[j - 1] + min(prev[j], prev[j - 1], left)
-            cur[j] = left
+    for s in range(2, ta + tb + 1):
+        i = np.arange(max(1, s - tb), min(ta, s - 1) + 1)
+        j = s - i
+        acc[i, j] = dist[i - 1, j - 1] + np.minimum(
+            np.minimum(acc[i - 1, j], acc[i, j - 1]), acc[i - 1, j - 1]
+        )
     # path length by backtrace (MCD averages over DTW steps)
     i, j, steps = ta, tb, 0
     while i > 1 or j > 1:

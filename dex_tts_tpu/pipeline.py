@@ -73,6 +73,23 @@ def _bucket(n: int, quantum: int, minimum: int = 0) -> int:
     return max(minimum, -(-n // quantum) * quantum)
 
 
+def ramp_spans(
+    n: int, max_batch: int, first_batch: int = 1
+) -> list[tuple[int, int]]:
+    """(lo, hi) spans covering range(n) with sizes ramping
+    ``first_batch → 2x → … → max_batch`` — the batching schedule shared by
+    `Synthesizer.tts_stream` and the serving daemon's /tts_stream endpoint
+    (small first batch for time-to-first-audio, full batches for the tail)."""
+    max_batch = max(1, max_batch)
+    size = max(1, min(first_batch, max_batch))
+    spans, lo = [], 0
+    while lo < n:
+        hi = min(n, lo + size)
+        spans.append((lo, hi))
+        lo, size = hi, min(max_batch, size * 2)
+    return spans
+
+
 class Synthesizer:
     def __init__(
         self,
@@ -310,7 +327,11 @@ class Synthesizer:
         Per-sentence conditioning (`spk_ids`/`ref_wavs`/`ref_feats`) in
         ``tts_kwargs`` may be a single value — it is broadcast to every
         sentence (a single reference wav is preprocessed once, not per
-        sentence)."""
+        sentence).
+
+        Splitting/validation happen eagerly at call time (a bad ``text``
+        raises here, not at the first ``next()`` deep inside a consumer
+        loop); the returned generator only does synthesis."""
         chunks = split_sentences(text, max_chars=max_chars)
         if not chunks:
             raise ValueError("no synthesizable text")
@@ -330,11 +351,11 @@ class Synthesizer:
                 tts_kwargs[k] = list(v) * n
         if key is None:
             key = jax.random.PRNGKey(0)
-        max_batch = max(1, max_batch)
-        size = max(1, min(first_batch, max_batch))
-        lo = 0
-        while lo < n:
-            hi = min(n, lo + size)
+        spans = ramp_spans(n, max_batch, first_batch)
+        return self._tts_stream_gen(chunks, key, spans, tts_kwargs)
+
+    def _tts_stream_gen(self, chunks, key, spans, tts_kwargs):
+        for lo, hi in spans:
             key, sub = jax.random.split(key)
             group_kwargs = dict(tts_kwargs)
             for k in ("spk_ids", "ref_wavs", "ref_feats"):
@@ -347,8 +368,6 @@ class Synthesizer:
                 r["index"] = lo + i
                 r["text"] = chunks[lo + i]
                 yield r
-            lo = hi
-            size = min(max_batch, size * 2)
 
     def tts_long(
         self,

@@ -160,7 +160,15 @@ class MicroBatcher:
                 self._serve_group(group)
 
     def _serve_group(self, batch: list):
-        texts = [t for t, _ in batch]
+        # claim each future (PENDING→RUNNING); a future the client already
+        # cancelled (e.g. a streaming request whose socket died) is dropped
+        # here, BEFORE its sentence costs a 50-step sampler dispatch
+        live = [
+            (t, fut) for t, fut in batch if fut.set_running_or_notify_cancel()
+        ]
+        if not live:
+            return
+        texts = [t for t, _ in live]
         self.batch_sizes.append(len(texts))
         try:
             results = self.infer_fn(texts)
@@ -169,12 +177,12 @@ class MicroBatcher:
                     f"infer_fn returned {len(results)} results for "
                     f"{len(texts)} texts"
                 )
-            for (_, fut), res in zip(batch, results):
+            for (_, fut), res in zip(live, results):
                 fut.set_result(res)
         except Exception:
             # one bad sentence must not poison its co-batched peers:
             # retry each item alone so only the real offender fails
-            for t, fut in batch:
+            for t, fut in live:
                 if fut.done():
                     continue
                 try:
@@ -187,6 +195,31 @@ class MicroBatcher:
                     fut.set_result(res[0])
                 except Exception as e:
                     fut.set_exception(e)
+
+
+def _percentile(sorted_vals: list, q: float) -> float:
+    """Nearest-rank percentile: ceil(q·n)−1 (int(q·n) is off by one —
+    p95 of a 20-sample window would report the maximum)."""
+    import math
+
+    return sorted_vals[max(0, math.ceil(q * len(sorted_vals)) - 1)]
+
+
+def _validate_long_text(req: dict) -> tuple[str, float]:
+    """Shared validation for the long-form endpoints (/tts with "text",
+    /tts_stream): returns (text, pause_ms) or raises ValueError with the
+    client-facing message."""
+    text = req.get("text")
+    if not isinstance(text, str) or not text.strip():
+        raise ValueError("text: non-empty string")
+    raw_pause = req.get("pause_ms", 200.0)
+    if (
+        not isinstance(raw_pause, (int, float))
+        or isinstance(raw_pause, bool)
+        or not 0 <= raw_pause <= 10_000
+    ):
+        raise ValueError("pause_ms: number in [0, 10000]")
+    return text, float(raw_pause)
 
 
 def wav_to_b64(wav: np.ndarray) -> str:
@@ -208,19 +241,43 @@ def make_server(
     futures; batching happens in the worker regardless of which thread
     carried which request."""
     stats = {"requests": 0, "sentences": 0}
-    # rolling window of per-request wall-clock → p50/p95 in /healthz
+    # rolling windows of per-request wall-clock → p50/p95 in /healthz.
+    # /tts and /tts_stream are tracked SEPARATELY: a whole-article stream's
+    # wall time is dominated by article length, and mixing it into the
+    # single-shot window would make the p95 bimodal and meaningless.
     from collections import deque
 
-    latencies: deque = deque(maxlen=200)
+    stats_lock = threading.Lock()
+    latencies = {
+        "tts": deque(maxlen=200),
+        "tts_stream": deque(maxlen=200),
+    }
     srv_info = dict(info or {})
 
-    def _percentile(sorted_vals: list, q: float) -> float:
-        i = min(len(sorted_vals) - 1, int(q * len(sorted_vals)))
-        return sorted_vals[i]
+    def _record(endpoint: str, wall: float, sentences: int):
+        with stats_lock:
+            stats["requests"] += 1
+            stats["sentences"] += sentences
+            latencies[endpoint].append(wall)
+
+    def _latency_stats() -> dict:
+        with stats_lock:  # snapshot under the lock: request threads append
+            snap = {k: sorted(v) for k, v in latencies.items()}
+        out = {}
+        for endpoint, prefix in (("tts", "latency"), ("tts_stream", "stream")):
+            vals = snap[endpoint]
+            if vals:
+                out[f"{prefix}_p50_ms"] = round(_percentile(vals, 0.50) * 1e3, 1)
+                out[f"{prefix}_p95_ms"] = round(_percentile(vals, 0.95) * 1e3, 1)
+        return out
 
     class TTSRequestHandler(BaseHTTPRequestHandler):
         # chunked transfer encoding (the /tts_stream response) requires 1.1
         protocol_version = "HTTP/1.1"
+        # HTTP/1.1 defaults to keep-alive; without a socket timeout every
+        # idle client connection would pin its server thread forever
+        # (handle_one_request closes the connection when the read times out)
+        timeout = 65
 
         def log_message(self, *a):  # quiet
             pass
@@ -236,25 +293,15 @@ def make_server(
         def do_GET(self):
             if self.path != "/healthz":
                 return self._json(404, {"error": "not found"})
-            lat = sorted(latencies)
+            with stats_lock:
+                counts = dict(stats)
             self._json(
                 200,
                 {
                     "ok": True,
                     "batch_sizes": batcher.batch_sizes[-20:],
-                    **stats,
-                    **(
-                        {
-                            "latency_p50_ms": round(
-                                _percentile(lat, 0.50) * 1e3, 1
-                            ),
-                            "latency_p95_ms": round(
-                                _percentile(lat, 0.95) * 1e3, 1
-                            ),
-                        }
-                        if lat
-                        else {}
-                    ),
+                    **counts,
+                    **_latency_stats(),
                     **srv_info,
                 },
             )
@@ -276,21 +323,7 @@ def make_server(
                 long_text = req.get("text")
                 pause_ms = 200.0
                 if long_text is not None:
-                    if not isinstance(long_text, str) or not long_text.strip():
-                        return self._json(
-                            400, {"error": "text: non-empty string"}
-                        )
-                    raw_pause = req.get("pause_ms", 200.0)
-                    if (
-                        not isinstance(raw_pause, (int, float))
-                        or isinstance(raw_pause, bool)
-                        or not 0 <= raw_pause <= 10_000
-                    ):
-                        return self._json(
-                            400,
-                            {"error": "pause_ms: number in [0, 10000]"},
-                        )
-                    pause_ms = float(raw_pause)
+                    long_text, pause_ms = _validate_long_text(req)
                     from dex_tts_tpu.pipeline import split_sentences
 
                     texts = split_sentences(long_text)
@@ -315,8 +348,6 @@ def make_server(
                 outs = [f.result(timeout=600) for f in futs]
             except Exception as e:
                 return self._json(500, {"error": repr(e)})
-            stats["requests"] += 1
-            stats["sentences"] += len(texts)
             if long_text is not None:
                 # one wav: sentences joined with pause_ms of silence
                 gap = np.zeros(int(sample_rate * pause_ms / 1e3), np.float32)
@@ -329,7 +360,7 @@ def make_server(
             wavs = [wav_to_b64(o["wav"]) for o in outs]
             audio_s = sum(len(o["wav"]) for o in outs) / sample_rate
             wall = time.monotonic() - t0
-            latencies.append(wall)
+            _record("tts", wall, len(texts))
             self._json(
                 200,
                 {
@@ -353,32 +384,18 @@ def make_server(
                 req = json.loads(self.rfile.read(n) or b"{}")
             except (ValueError, json.JSONDecodeError) as e:
                 return self._json(400, {"error": str(e)})
-            text = req.get("text")
-            if not isinstance(text, str) or not text.strip():
-                return self._json(400, {"error": "text: non-empty string"})
-            raw_pause = req.get("pause_ms", 200.0)
-            if (
-                not isinstance(raw_pause, (int, float))
-                or isinstance(raw_pause, bool)
-                or not 0 <= raw_pause <= 10_000
-            ):
-                return self._json(
-                    400, {"error": "pause_ms: number in [0, 10000]"}
-                )
-            pause = np.zeros(
-                int(sample_rate * float(raw_pause) / 1e3), np.float32
-            )
-            from dex_tts_tpu.pipeline import split_sentences
+            try:
+                text, pause_ms = _validate_long_text(req)
+            except ValueError as e:
+                return self._json(400, {"error": str(e)})
+            pause = np.zeros(int(sample_rate * pause_ms / 1e3), np.float32)
+            from dex_tts_tpu.pipeline import ramp_spans, split_sentences
 
             sentences = split_sentences(text)
             if not sentences:
                 return self._json(400, {"error": "no synthesizable text"})
 
-            waves, lo, size = [], 0, 1
-            while lo < len(sentences):
-                hi = min(len(sentences), lo + size)
-                waves.append((lo, hi))
-                lo, size = hi, min(max(batcher.max_batch, 1), size * 2)
+            waves = ramp_spans(len(sentences), batcher.max_batch)
 
             self.send_response(200)
             self.send_header("Content-Type", "application/x-ndjson")
@@ -395,6 +412,7 @@ def make_server(
             try:
                 for k, (lo, hi) in enumerate(waves):
                     outs = [f.result(timeout=600) for f in futs]
+                    futs = []
                     if k + 1 < len(waves):
                         nlo, nhi = waves[k + 1]
                         futs = [
@@ -415,11 +433,9 @@ def make_server(
                             ).encode()
                             + b"\n"
                         )
-                stats["requests"] += 1
-                stats["sentences"] += len(sentences)
                 audio_s = total_samples / sample_rate
                 wall = time.monotonic() - t0
-                latencies.append(wall)
+                _record("tts_stream", wall, len(sentences))
                 self._write_chunk(
                     json.dumps(
                         {
@@ -435,6 +451,12 @@ def make_server(
                     + b"\n"
                 )
             except Exception as e:
+                # already-submitted next-wave sentences are audio nobody
+                # will read — cancel them (honored for still-queued items,
+                # see MicroBatcher._serve_group) so the device doesn't burn
+                # sampler dispatches for a dead client
+                for f in futs:
+                    f.cancel()
                 # the 200 header is already on the wire — report the
                 # failure in-band as the stream's last line
                 try:

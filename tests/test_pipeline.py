@@ -400,3 +400,8 @@ def test_tts_stream_ramps_batches_and_orders_sentences(synthesizer):
     )
     for s, l in zip(streamed, long_out["sentences"]):
         np.testing.assert_array_equal(s["wav"], l["wav"])
+
+    # validation is eager: a bad text raises AT THE CALL, not at the first
+    # next() deep inside some consumer's response-writing loop
+    with pytest.raises(ValueError, match="no synthesizable text"):
+        synthesizer.tts_stream("   ")

@@ -52,6 +52,29 @@ def test_microbatcher_respects_max_batch():
     assert all(len(c) <= 2 for c in calls)
 
 
+def test_microbatcher_skips_cancelled_futures():
+    """A future cancelled while queued (client hung up mid-stream) must not
+    cost an infer dispatch; live peers in the same batch still get served.
+    All-cancelled batches skip the infer call entirely."""
+    calls = []
+    b = MicroBatcher(slow_infer(calls), max_batch=8)
+    try:
+        from concurrent.futures import Future
+
+        dead, live = Future(), Future()
+        assert dead.cancel()
+        b._serve_group([("gone", dead), ("here", live)])
+        assert calls == [["here"]]
+        assert live.result(timeout=10)["text"] == "here"
+
+        dead2 = Future()
+        assert dead2.cancel()
+        b._serve_group([("gone2", dead2)])
+        assert calls == [["here"]]  # no infer call for an empty batch
+    finally:
+        b.close()
+
+
 def test_microbatcher_propagates_errors():
     def boom(texts):
         raise RuntimeError("graph exploded")
@@ -410,6 +433,9 @@ def test_http_tts_stream():
         ) as r:
             h = json.loads(r.read())
         assert h["sentences"] == 4
+        # stream wall-clocks land in their own /healthz window (article
+        # length must not pollute the single-shot /tts p95)
+        assert h["stream_p50_ms"] > 0 and "latency_p50_ms" not in h
 
         # validation errors arrive as plain JSON with a 400
         assert _post_stream(port, {})[0] == 400
@@ -453,3 +479,15 @@ def test_healthz_latency_percentiles(server):
         h = json.loads(r.read())
     assert h["latency_p50_ms"] > 0
     assert h["latency_p95_ms"] >= h["latency_p50_ms"]
+    assert "stream_p50_ms" not in h  # no /tts_stream requests were made
+
+
+def test_percentile_nearest_rank():
+    """p95 of a 20-sample window is the 19th order statistic, not the max
+    (int(q·n) indexing would peg p95 to a single cold-compile outlier)."""
+    from dex_tts_tpu.serving import _percentile
+
+    vals = sorted(range(1, 21))  # 1..20
+    assert _percentile(vals, 0.95) == 19
+    assert _percentile(vals, 0.50) == 10
+    assert _percentile([7.0], 0.95) == 7.0
