@@ -214,7 +214,7 @@ def build_init_batch(cfg, ds=None):
 
 
 def load_synthesizer(cfg, exp_dir: str, n_timesteps: int = 50, tag: str = "best-train",
-                     dit_cache_interval: int = 1):
+                     dit_cache_interval: int = 1, solver: str = "euler"):
     if dit_cache_interval > 1 and n_timesteps % dit_cache_interval:
         # fail fast at startup — otherwise a misconfigured server boots
         # healthy and 500s every request at first-trace time
@@ -222,6 +222,10 @@ def load_synthesizer(cfg, exp_dir: str, n_timesteps: int = 50, tag: str = "best-
             f"n_timesteps {n_timesteps} must be a multiple of "
             f"dit_cache_interval {dit_cache_interval}"
         )
+    if solver not in ("euler", "heun", "dpmpp2m"):
+        raise ValueError(f"unknown solver {solver!r}")
+    if solver != "euler" and dit_cache_interval > 1:
+        raise ValueError("dit_cache_interval>1 requires the euler solver")
     model = build_model(cfg)
     ds = _val_dataset(cfg)
     batch = build_init_batch(cfg, ds)
@@ -272,7 +276,8 @@ def load_synthesizer(cfg, exp_dir: str, n_timesteps: int = 50, tag: str = "best-
         cmu_path=cfg.path.get("cmu_path"),
         add_blank=cfg.model.get("add_blank", True),
         sampler=SamplerConfig(
-            num_steps=n_timesteps, dit_cache_interval=dit_cache_interval
+            num_steps=n_timesteps, solver=solver,
+            dit_cache_interval=dit_cache_interval,
         ),
     ), ds
 
@@ -287,15 +292,19 @@ def run_objective_eval(
     asr: ASRScorer | None = None,
     spk_scorer: SpeakerScorer | None = None,
     dit_cache_interval: int = 1,
+    solver: str = "euler",
 ):
     """asr/spk_scorer are injectable so tests can exercise the scoring
     wiring without the optional pretrained backends.
 
     dit_cache_interval > 1 evaluates the approximate turbo sampler — run
     it against the exact default to quantify the quality cost (mel-MAE,
-    CER/WER, speaker-cos) on your own trained model before serving it."""
+    CER/WER, speaker-cos) on your own trained model before serving it.
+    solver="dpmpp2m" evaluates the 2nd-order multistep solver the same
+    way (e.g. --n_timesteps 16 vs the 50-step euler baseline)."""
     synth, ds = load_synthesizer(
-        cfg, exp_dir, n_timesteps, dit_cache_interval=dit_cache_interval
+        cfg, exp_dir, n_timesteps, dit_cache_interval=dit_cache_interval,
+        solver=solver,
     )
     out_dir = os.path.join(exp_dir, "eval")
     os.makedirs(out_dir, exist_ok=True)

@@ -128,7 +128,13 @@ class SamplerConfig:
     no scaling)."""
 
     num_steps: int = 50
-    solver: str = "euler"  # euler | heun
+    # euler | heun (reference solvers, DEX-TTS/model/edm.py:104-109) |
+    # dpmpp2m (framework addition: DPM-Solver++(2M) — 2nd-order multistep
+    # data-prediction solver, Lu et al. 2022, arXiv 2211.01095. One
+    # denoiser eval per step like euler but 2nd-order accurate, so ~12-16
+    # steps reach the 50-step euler solution of the same ODE; requires
+    # scaling="none" (every shipped config) and no churn)
+    solver: str = "euler"
     discretization: str = "edm"  # vp | ve | iddpm | edm
     schedule: str = "linear"  # vp | ve | linear
     scaling: str = "none"  # vp | none
@@ -187,45 +193,46 @@ def _schedule_fns(cfg: SamplerConfig, vp_beta_d: float, vp_beta_min: float):
     return sigma, sigma_deriv, sigma_inv, s_fn, s_deriv
 
 
-def build_schedule(cfg: SamplerConfig) -> dict[str, np.ndarray]:
-    """Precompute all per-step scalars of the generalized sampler.
-    reference: DEX-TTS/model/edm.py:110-180."""
-    n = cfg.num_steps
-    vp_sigma = lambda bd, bm: lambda t: np.sqrt(
-        np.exp(0.5 * bd * t**2 + bm * t) - 1
-    )
+_vp_sigma = lambda bd, bm: lambda t: np.sqrt(
+    np.exp(0.5 * bd * t**2 + bm * t) - 1
+)
 
+
+def _resolve_sigma_range(cfg: SamplerConfig) -> tuple[float, float]:
+    """Per-discretization default σ range. reference: DEX-TTS/model/edm.py:122-135."""
     sigma_min, sigma_max = cfg.sigma_min, cfg.sigma_max
     if sigma_min is None:
         sigma_min = {
-            "vp": float(vp_sigma(19.9, 0.1)(cfg.epsilon_s)),
+            "vp": float(_vp_sigma(19.9, 0.1)(cfg.epsilon_s)),
             "ve": 0.02,
             "iddpm": 0.002,
             "edm": 0.002,
         }[cfg.discretization]
     if sigma_max is None:
         sigma_max = {
-            "vp": float(vp_sigma(19.9, 0.1)(1.0)),
+            "vp": float(_vp_sigma(19.9, 0.1)(1.0)),
             "ve": 100.0,
             "iddpm": 81.0,
             "edm": 80.0,
         }[cfg.discretization]
+    return sigma_min, sigma_max
 
-    vp_beta_d = (
-        2
-        * (np.log(sigma_min**2 + 1) / cfg.epsilon_s - np.log(sigma_max**2 + 1))
-        / (cfg.epsilon_s - 1)
-    )
-    vp_beta_min = np.log(sigma_max**2 + 1) - 0.5 * vp_beta_d
 
+def _discretize_sigmas(
+    cfg: SamplerConfig, sigma_min: float, sigma_max: float,
+    vp_beta_d: float, vp_beta_min: float,
+) -> np.ndarray:
+    """The per-step σ ladder (n,), descending σ_max→σ_min.
+    reference: DEX-TTS/model/edm.py:137-152."""
+    n = cfg.num_steps
     i = np.arange(n, dtype=np.float64)
     if cfg.discretization == "vp":
         orig_t = 1 + i / (n - 1) * (cfg.epsilon_s - 1)
-        sigma_steps = vp_sigma(vp_beta_d, vp_beta_min)(orig_t)
-    elif cfg.discretization == "ve":
+        return _vp_sigma(vp_beta_d, vp_beta_min)(orig_t)
+    if cfg.discretization == "ve":
         orig_t = sigma_max**2 * (sigma_min**2 / sigma_max**2) ** (i / (n - 1))
-        sigma_steps = np.sqrt(orig_t)
-    elif cfg.discretization == "iddpm":
+        return np.sqrt(orig_t)
+    if cfg.discretization == "iddpm":
         m = cfg.m_steps
         # NB: computed in float64. The reference builds this table in
         # float32 (edm.py:144-149) where the sqrt((u²+1)/r − 1) recursion is
@@ -244,12 +251,32 @@ def build_schedule(cfg: SamplerConfig) -> dict[str, np.ndarray]:
         # torch .round() rounds half to even, as does np.round
         # (reference: edm.py:149)
         idx = np.round((len(u_filtered) - 1) / (n - 1) * i).astype(np.int64)
-        sigma_steps = u_filtered[idx]
-    else:
-        sigma_steps = (
-            sigma_max ** (1 / cfg.rho)
-            + i / (n - 1) * (sigma_min ** (1 / cfg.rho) - sigma_max ** (1 / cfg.rho))
-        ) ** cfg.rho
+        return u_filtered[idx]
+    return (
+        sigma_max ** (1 / cfg.rho)
+        + i / (n - 1) * (sigma_min ** (1 / cfg.rho) - sigma_max ** (1 / cfg.rho))
+    ) ** cfg.rho
+
+
+def _vp_betas(cfg: SamplerConfig, sigma_min: float, sigma_max: float):
+    vp_beta_d = (
+        2
+        * (np.log(sigma_min**2 + 1) / cfg.epsilon_s - np.log(sigma_max**2 + 1))
+        / (cfg.epsilon_s - 1)
+    )
+    vp_beta_min = np.log(sigma_max**2 + 1) - 0.5 * vp_beta_d
+    return vp_beta_d, vp_beta_min
+
+
+def build_schedule(cfg: SamplerConfig) -> dict[str, np.ndarray]:
+    """Precompute all per-step scalars of the generalized sampler.
+    reference: DEX-TTS/model/edm.py:110-180."""
+    n = cfg.num_steps
+    sigma_min, sigma_max = _resolve_sigma_range(cfg)
+    vp_beta_d, vp_beta_min = _vp_betas(cfg, sigma_min, sigma_max)
+    sigma_steps = _discretize_sigmas(
+        cfg, sigma_min, sigma_max, vp_beta_d, vp_beta_min
+    )
 
     sigma, sigma_deriv, sigma_inv, s_fn, s_deriv = _schedule_fns(
         cfg, vp_beta_d, vp_beta_min
@@ -301,6 +328,49 @@ def build_schedule(cfg: SamplerConfig) -> dict[str, np.ndarray]:
     }
 
 
+def build_dpmpp2m_schedule(cfg: SamplerConfig) -> dict[str, np.ndarray]:
+    """Per-step coefficients for DPM-Solver++(2M) (Lu et al. 2022,
+    arXiv 2211.01095), data-prediction multistep form for the VE-style
+    process x = x₀ + σ·ε (scaling s(t)=1, the only scaling every shipped
+    config uses).
+
+    With λ = −ln σ the probability-flow ODE dx/dt = (σ'/σ)(x − D(x;σ))
+    becomes dx/dλ = −x + D, integrated exactly over one step under a
+    (linearly extrapolated) D:
+
+        x_{i+1} = (σ_{i+1}/σ_i)·x_i + (1 − σ_{i+1}/σ_i)·D̃_i
+        D̃_i = c1_i·D_i + c2_i·D_{i−1},  c1 = 1 + 1/(2r), c2 = −1/(2r),
+        r_i = h_{i−1}/h_i,  h_i = λ_{i+1} − λ_i
+
+    First and last steps fall back to first order (no history / σ→0),
+    matching the standard multistep implementation. Shares the σ ladder
+    with the euler/heun sampler, so any discretization works."""
+    n = cfg.num_steps
+    sigma_min, sigma_max = _resolve_sigma_range(cfg)
+    vp_beta_d, vp_beta_min = _vp_betas(cfg, sigma_min, sigma_max)
+    sig = _discretize_sigmas(cfg, sigma_min, sigma_max, vp_beta_d, vp_beta_min)
+
+    ratio = np.concatenate([sig[1:], [0.0]]) / sig  # σ_{i+1}/σ_i; last → 0
+    c1 = np.ones(n)
+    c2 = np.zeros(n)
+    if n > 2:
+        lam = -np.log(sig)
+        h = lam[1:] - lam[:-1]  # (n-1,) finite: excludes the σ=0 terminal
+        r = h[:-1] / h[1:]  # r_i for i = 1..n-2
+        c1[1 : n - 1] = 1.0 + 1.0 / (2.0 * r)
+        c2[1 : n - 1] = -1.0 / (2.0 * r)
+
+    f32 = lambda x: np.asarray(x, np.float32)
+    return {
+        "x_init_scale": f32(sig[0]),
+        "sigma": f32(sig),
+        "ratio": f32(ratio),
+        "cd": f32(1.0 - ratio),
+        "c1": f32(c1),
+        "c2": f32(c2),
+    }
+
+
 def ablation_sampler(
     key: jax.Array,
     denoise_fn,
@@ -323,19 +393,25 @@ def ablation_sampler(
     only, reuses it); the scan then runs over chunks of k steps with one
     full eval per chunk.
     """
-    sched = {k: jnp.asarray(v) for k, v in build_schedule(cfg).items()}
+    if cfg.solver not in ("euler", "heun", "dpmpp2m"):
+        raise ValueError(f"unknown solver {cfg.solver!r}")
     b = latents.shape[0]
     heun = cfg.solver == "heun"
+
+    def denoised_at(x, sigma_scalar):
+        sigma_b = jnp.full((b,), sigma_scalar, latents.dtype)
+        return apply_precond(denoise_fn, x, sigma_b, sigma_data, **cond)
+
+    if cfg.solver == "dpmpp2m":
+        return _dpmpp2m_sampler(denoised_at, latents, cfg)
+
+    sched = {k: jnp.asarray(v) for k, v in build_schedule(cfg).items()}
 
     if cfg.dit_cache_interval > 1:
         return _dit_cache_sampler(
             denoise_fn_mid, denoise_fn_cached, latents, cfg, sched,
             sigma_data, **cond,
         )
-
-    def denoised_at(x, sigma_scalar):
-        sigma_b = jnp.full((b,), sigma_scalar, latents.dtype)
-        return apply_precond(denoise_fn, x, sigma_b, sigma_data, **cond)
 
     churn = cfg.s_churn > 0
 
@@ -381,6 +457,36 @@ def ablation_sampler(
     per_step = {k: v for k, v in sched.items() if k != "x_init_scale"}
     (x, _), _ = jax.lax.scan(
         step, (x0, key), per_step, unroll=max(1, cfg.unroll)
+    )
+    return x
+
+
+def _dpmpp2m_sampler(denoised_at, latents: jnp.ndarray, cfg: SamplerConfig):
+    """DPM-Solver++(2M) as one lax.scan (see build_dpmpp2m_schedule).
+    Deterministic; one denoiser eval per step. The first-order fallback on
+    the first/last steps is encoded in the (c1, c2) coefficient arrays, so
+    the scan body is branch-free."""
+    if cfg.scaling != "none":
+        raise ValueError("solver='dpmpp2m' requires scaling='none'")
+    if cfg.s_churn > 0:
+        raise ValueError("solver='dpmpp2m' is deterministic (no churn)")
+    if cfg.dit_cache_interval > 1:
+        raise ValueError(
+            "solver='dpmpp2m' is incompatible with dit_cache_interval>1"
+        )
+    sched = {k: jnp.asarray(v) for k, v in build_dpmpp2m_schedule(cfg).items()}
+
+    def step(carry, ps):
+        x, old_den = carry
+        den = denoised_at(x, ps["sigma"])
+        den_d = ps["c1"] * den + ps["c2"] * old_den
+        x_new = ps["ratio"] * x + ps["cd"] * den_d
+        return (x_new, den), None
+
+    x0 = latents * sched["x_init_scale"]
+    per_step = {k: v for k, v in sched.items() if k != "x_init_scale"}
+    (x, _), _ = jax.lax.scan(
+        step, (x0, jnp.zeros_like(x0)), per_step, unroll=max(1, cfg.unroll)
     )
     return x
 

@@ -272,6 +272,7 @@ class Synthesizer:
         key=None,
         n_timesteps: int | None = None,
         dit_cache_interval: int | None = None,
+        solver: str | None = None,
         temperature: float = 1.5,
         length_scale: float = 1.0,
         spk_ids: Sequence[int] | None = None,
@@ -292,6 +293,10 @@ class Synthesizer:
         ):
             # approximate turbo mode (models/edm._dit_cache_sampler)
             overrides["dit_cache_interval"] = dit_cache_interval
+        if solver is not None and solver != self.sampler.solver:
+            # e.g. "dpmpp2m": 2nd-order multistep — ~16-25 steps reach the
+            # 50-step euler solution (models/edm._dpmpp2m_sampler)
+            overrides["solver"] = solver
         # the override is a per-call local — never written to self, so
         # concurrent tts() calls on a shared Synthesizer each keep their
         # own fidelity (the sampler joins the graph-cache key; graphs for

@@ -43,6 +43,11 @@ def parse_args():
                         "turbo sampler (DiT mid-block reused for k-1 of "
                         "every k steps; 1 = exact) to quantify its "
                         "quality cost on a trained model")
+    p.add_argument("--solver", default="euler",
+                   choices=["euler", "heun", "dpmpp2m"],
+                   help="test action ODE solver; dpmpp2m (DPM-Solver++ 2M, 2nd-order "
+                        "multistep) reaches the 50-step euler solution "
+                        "with ~16-25 steps")
     p.add_argument("--init_from", default=None, metavar="PATH",
                    help="warm-start params/EMA from a reference-format "
                         "torch checkpoint (.pth file or reference "
@@ -297,6 +302,7 @@ def test(args):
         n_timesteps=args.n_timesteps,
         test_file=args.test_file,
         dit_cache_interval=args.dit_cache_interval,
+        solver=args.solver,
     )
 
 

@@ -52,6 +52,8 @@ def main():
     for disc, sched, scal in (("ve", "ve", "none"), ("vp", "vp", "vp")):
         configs.append(("euler", disc, sched, scal, 50))
     configs.append(("heun", "edm", "linear", "none", 25))
+    for steps in (16, 25):
+        configs.append(("dpmpp2m", "edm", "linear", "none", steps))
 
     for solver, disc, sched, scal, steps in configs:
         cfg = SamplerConfig(

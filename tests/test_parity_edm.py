@@ -197,3 +197,73 @@ def test_full_sampler_with_precond_runs():
     assert np.isfinite(np.asarray(out)).all()
     d = apply_precond(denoise_fn, latents, jnp.asarray([1.0, 2.0]))
     assert d.shape == latents.shape
+
+
+# ---------------------------------------------------------------------------
+# DPM-Solver++(2M) — framework-added solver (no reference counterpart)
+
+
+def _toy_denoise_fn(x, c_noise, **kw):
+    """Smooth nonlinear raw network so the probability-flow ODE has real
+    curvature (a linear D makes every solver exact)."""
+    return jnp.tanh(x) * (1.0 + 0.1 * jnp.reshape(c_noise, (-1, 1, 1)))
+
+
+def _run_solver(solver: str, steps: int) -> np.ndarray:
+    latents = jnp.asarray(
+        np.random.default_rng(7).standard_normal((2, 4, 12)), jnp.float32
+    )
+    cfg = SamplerConfig(num_steps=steps, solver=solver)
+    return np.asarray(
+        ablation_sampler(jax.random.PRNGKey(0), _toy_denoise_fn, latents, cfg)
+    )
+
+
+def test_dpmpp2m_second_order_convergence():
+    """DPM++(2M) reaches the fine-grained ODE solution with far fewer
+    denoiser evals than euler — the point of the solver: ~16-25 steps
+    instead of 50 in serving. Measured on this toy ODE (1 NFE per step for
+    euler/dpmpp2m, 2 for heun):
+
+        steps   euler    heun     dpmpp2m
+          16    0.279    0.116    0.123
+          25    0.180    0.044    0.047
+          50    0.091    0.011    0.011
+
+    i.e. dpmpp2m matches heun's 2nd-order accuracy at HALF heun's NFE and
+    beats 50-step euler with 25 evals."""
+    ref = _run_solver("euler", 3200)  # fine-grained ground truth
+    err_euler25 = np.abs(_run_solver("euler", 25) - ref).max()
+    err_euler50 = np.abs(_run_solver("euler", 50) - ref).max()
+    err_dpmpp25 = np.abs(_run_solver("dpmpp2m", 25) - ref).max()
+    assert np.isfinite(err_dpmpp25)
+    # half the NFE of euler@50, better accuracy
+    assert err_dpmpp25 < err_euler50, (err_dpmpp25, err_euler50)
+    # at equal NFE, at least 2x closer
+    assert err_dpmpp25 < 0.5 * err_euler25, (err_dpmpp25, err_euler25)
+    # and it converges to the SAME solution, not a different fixed point
+    assert np.abs(_run_solver("dpmpp2m", 400) - ref).max() < 5e-3
+
+
+def test_dpmpp2m_validation():
+    latents = jnp.zeros((1, 2, 4), jnp.float32)
+    for bad in (
+        SamplerConfig(solver="dpmpp2m", scaling="vp", schedule="vp",
+                      discretization="vp"),
+        SamplerConfig(solver="dpmpp2m", s_churn=1.0),
+        SamplerConfig(solver="dpmpp2m", dit_cache_interval=2),
+        SamplerConfig(solver="nope"),
+    ):
+        with pytest.raises(ValueError):
+            ablation_sampler(
+                jax.random.PRNGKey(0), _toy_denoise_fn, latents, bad
+            )
+    # 2 steps hits the pure first-order path (no 2M history) and stays
+    # finite; num_steps=1 is unsupported by every discretization (the
+    # ladder interpolates over n-1 intervals), matching euler/heun
+    out = _run_solver("dpmpp2m", 2)
+    assert np.isfinite(out).all()
+    # for the linear schedule (σ=t) euler's step algebra coincides with
+    # the first-order exponential-integrator update, so 2-step results match
+    np.testing.assert_allclose(out, _run_solver("euler", 2), rtol=1e-4,
+                               atol=1e-4)

@@ -263,6 +263,24 @@ def test_tts_dit_cache_interval_knob(synthesizer):
     assert synthesizer.sampler == before
 
 
+def test_tts_solver_knob(synthesizer):
+    """The per-call solver override (e.g. dpmpp2m for few-step serving)
+    produces finite audio, actually changes the sampler output vs euler at
+    the same step count, and is not sticky on the shared Synthesizer."""
+    before = synthesizer.sampler
+    dp = synthesizer.tts(
+        ["solver knob"], key=jax.random.PRNGKey(5), n_timesteps=4,
+        solver="dpmpp2m",
+    )
+    assert np.isfinite(dp[0]["wav"]).all()
+    assert synthesizer.sampler == before  # restored, not sticky
+    eu = synthesizer.tts(["solver knob"], key=jax.random.PRNGKey(5),
+                         n_timesteps=4)
+    # same RNG, different integrator → different mels (2M extrapolation
+    # kicks in from step 2 of 4)
+    assert not np.allclose(dp[0]["mel"], eu[0]["mel"])
+
+
 def test_tts_batch_size_bucketing(synthesizer):
     """Batch sizes pad up to powers of two (repeating the last row) so a
     micro-batching server compiles O(log max_batch) programs per bucket
