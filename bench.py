@@ -56,11 +56,20 @@ def main():
                    help="approximate turbo sampling (DiT mid-block reused "
                         "for K-1 of every K steps); 1 = exact (the "
                         "headline benchmark is always exact)")
+    p.add_argument("--solver", default="euler",
+                   choices=["euler", "heun", "dpmpp2m"],
+                   help="ODE solver (the headline benchmark is always the "
+                        "reference's 50-step euler)")
+    p.add_argument("--steps", type=int, default=N_STEPS,
+                   help="sampler steps (headline: 50); pair with "
+                        "--solver dpmpp2m for the few-step regime")
     args = p.parse_args()
-    if args.dit_cache > 1 and N_STEPS % args.dit_cache:
+    if args.dit_cache > 1 and args.steps % args.dit_cache:
         p.error(
-            f"--dit_cache {args.dit_cache} must divide {N_STEPS} steps"
+            f"--dit_cache {args.dit_cache} must divide {args.steps} steps"
         )
+    if args.solver != "euler" and args.dit_cache > 1:
+        p.error("--dit_cache requires the euler solver")
 
     b, tx, ty, t_ref = args.batch, 96, 768, 256
     # flash blocks default to 1024 (padding-aware auto selection), which
@@ -111,7 +120,8 @@ def main():
             x_lengths,
             y_max_length=ty,
             sampler=SamplerConfig(
-                num_steps=N_STEPS, dit_cache_interval=args.dit_cache
+                num_steps=args.steps, solver=args.solver,
+                dit_cache_interval=args.dit_cache,
             ),
             temperature=1.5,
             length_scale=1.0,
@@ -154,8 +164,8 @@ def main():
             {
                 "metric": (
                     f"end-to-end {args.family} text-to-WAV synthesis RTF per chip "
-                    f"({N_STEPS}-step EDM + fused {args.vocoder}, batch {b}, "
-                    f"{ty} frames/item"
+                    f"({args.steps}-step {args.solver} EDM + fused {args.vocoder}, "
+                    f"batch {b}, {ty} frames/item"
                     + (
                         f", APPROX dit-cache {args.dit_cache}"
                         if args.dit_cache > 1

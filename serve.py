@@ -122,7 +122,8 @@ def main():
         port=args.port,
         sample_rate=int(cfg.preprocess.get("sample_rate", 22050)),
         info={"backend": jax.default_backend(),
-              "n_timesteps": args.n_timesteps},
+              "n_timesteps": args.n_timesteps,
+              "solver": args.solver},
     )
     print(f"serving on http://{args.host}:{args.port} "
           f"(max_batch {args.max_batch}, max_wait {args.max_wait_ms} ms)",
