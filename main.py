@@ -45,7 +45,7 @@ def parse_args():
                         "quality cost on a trained model")
     p.add_argument("--solver", default="euler",
                    choices=["euler", "heun", "dpmpp2m"],
-                   help="test action ODE solver; dpmpp2m (DPM-Solver++ 2M, 2nd-order "
+                   help="ODE solver for test-action eval and train-time periodic synthesis; dpmpp2m (DPM-Solver++ 2M, 2nd-order "
                         "multistep) reaches the 50-step euler solution "
                         "with ~16-25 steps")
     p.add_argument("--init_from", default=None, metavar="PATH",
@@ -156,7 +156,9 @@ def make_synthesis_callback(cfg, model, args, n_samples: int = 2):
                 cache["synth"] = Synthesizer(
                     model, {}, vocoder=voc, vocoder_params=voc_params,
                     cmu_path=cfg.path.get("cmu_path"),
-                    sampler=SamplerConfig(num_steps=args.n_timesteps),
+                    sampler=SamplerConfig(
+                        num_steps=args.n_timesteps, solver=args.solver
+                    ),
                 )
             ds = cache["ds"]
             synth = cache["synth"]
