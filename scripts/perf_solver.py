@@ -36,7 +36,11 @@ variables = {**variables, "params": jax.tree.unflatten(
               for p, k in zip(leaves, ks)])}
 key = jax.random.PRNGKey(4)
 
+# Override on the CLI as e.g. `euler:50 dpmpp2m:16` (each compile is
+# ~1-2 min over the tunnel; trim the list to fit a timeout).
 CONFIGS = [("euler", 50), ("euler", 25), ("dpmpp2m", 25), ("dpmpp2m", 16)]
+if len(sys.argv) > 1:
+    CONFIGS = [(s.split(":")[0], int(s.split(":")[1])) for s in sys.argv[1:]]
 
 def make(solver, steps):
     cfg = SamplerConfig(num_steps=steps, solver=solver)
@@ -54,8 +58,8 @@ for c, f in fns.items():
     mels[c] = jax.device_get(f(variables, key))
     print(f"{c}: first call {time.time()-t0:.1f}s", flush=True)
 
-base = mels[("euler", 50)]
-for c in CONFIGS[1:]:
+base = mels.get(("euler", 50))
+for c in CONFIGS[1:] if base is not None else []:
     rel = np.linalg.norm(mels[c] - base) / np.linalg.norm(base)
     mae = np.abs(mels[c] - base).mean()
     print(f"{c}: vs euler@50  rel L2 {rel:.4f}  mel-MAE {mae:.4f} "
