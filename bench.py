@@ -108,26 +108,36 @@ def main():
 
     variables, voc_params = _init()
 
-    def _synth(variables, key, x, x_lengths, *style_args):
-        cond = {}
-        if style_args:
-            (cond["ref"], cond["ref_lengths"], cond["sty"],
-             cond["sty_lengths"], cond["lf0"], cond["lf0_lengths"]) = style_args
-        return model.apply(
-            variables,
-            key,
-            x,
-            x_lengths,
-            y_max_length=ty,
-            sampler=SamplerConfig(
+    def _make_synth(unroll=None):
+        def _synth(variables, key, x, x_lengths, *style_args):
+            cond = {}
+            if style_args:
+                (cond["ref"], cond["ref_lengths"], cond["sty"],
+                 cond["sty_lengths"], cond["lf0"],
+                 cond["lf0_lengths"]) = style_args
+            sampler = SamplerConfig(
                 num_steps=args.steps, solver=args.solver,
                 dit_cache_interval=args.dit_cache,
-            ),
-            temperature=1.5,
-            length_scale=1.0,
-            method=family_cls.synthesize,
-            **cond,
-        )
+            )
+            if unroll is not None:
+                import dataclasses
+
+                sampler = dataclasses.replace(sampler, unroll=unroll)
+            return model.apply(
+                variables,
+                key,
+                x,
+                x_lengths,
+                y_max_length=ty,
+                sampler=sampler,
+                temperature=1.5,
+                length_scale=1.0,
+                method=family_cls.synthesize,
+                **cond,
+            )
+        return _synth
+
+    _synth = _make_synth()
 
     @jax.jit
     def text_to_mel(variables, key, *args):
@@ -137,6 +147,21 @@ def main():
     def text_to_wav(variables, voc_params, key, *args):
         mel = _synth(variables, key, *args)[1]
         return vocoder.apply({"params": voc_params}, mel)
+
+    # FLOPs twins at unroll 1/2: cost_analysis counts a loop body once
+    # per unroll copy, so two cheap lowerings extrapolate the full
+    # `steps`-iteration count (utils/mfu.py). Only lowered, never run.
+    def _mel_flops_twin(u):
+        s = _make_synth(unroll=u)
+        return jax.jit(lambda variables, key, *a: s(variables, key, *a)[1])
+
+    def _wav_flops_twin(u):
+        s = _make_synth(unroll=u)
+        return jax.jit(
+            lambda variables, voc_params, key, *a: vocoder.apply(
+                {"params": voc_params}, s(variables, key, *a)[1]
+            )
+        )
 
     inputs = (x, x_lengths) + (
         (
@@ -159,6 +184,23 @@ def main():
     rtf_mel = mel_s / audio_seconds
     rtf_e2e = wav_s / audio_seconds
 
+    # MFU accounting (VERDICT r2 item 2): analytical FLOPs from lowered
+    # unroll-extrapolated twins / measured wall / chip bf16 peak
+    from dex_tts_tpu.utils.mfu import (
+        extrapolated_scan_flops,
+        mfu,
+        peak_flops_per_chip,
+    )
+
+    flops_e2e = extrapolated_scan_flops(
+        _wav_flops_twin, args.steps, variables, voc_params, key, *inputs
+    )
+    flops_mel = extrapolated_scan_flops(
+        _mel_flops_twin, args.steps, variables, key, *inputs
+    )
+    mfu_e2e = mfu(flops_e2e, wav_s)
+    mfu_mel = mfu(flops_mel, mel_s)
+
     print(
         json.dumps(
             {
@@ -178,6 +220,19 @@ def main():
                 "vs_baseline": round(0.02 / rtf_e2e, 3),
                 "text_to_mel_rtf": round(rtf_mel, 6),
                 "vocoder_overhead_rtf": round(rtf_e2e - rtf_mel, 6),
+                # MFU vs the chip's dense bf16 peak (conservative for the
+                # f32 vocoder portion); null off-TPU or if the backend
+                # exposes no flops estimate
+                "tflops_per_dispatch": (
+                    round(flops_e2e / 1e12, 3) if flops_e2e else None
+                ),
+                "mfu": round(mfu_e2e, 4) if mfu_e2e else None,
+                "mfu_text_to_mel": round(mfu_mel, 4) if mfu_mel else None,
+                "peak_tflops": (
+                    round(peak_flops_per_chip() / 1e12, 1)
+                    if peak_flops_per_chip()
+                    else None
+                ),
             }
         )
     )

@@ -95,6 +95,15 @@ def main():
     elapsed = time.perf_counter() - t0
 
     steps_per_sec = args.steps / elapsed
+
+    # MFU: the train step has no sampler scan (loss at one σ per item), so
+    # plain lowered-HLO cost analysis prices fwd+bwd correctly; the only
+    # loop is MAS whose flops are negligible (~2 ms of ~200 ms, max/add)
+    from dex_tts_tpu.utils.mfu import lowered_flops, mfu, peak_flops_per_chip
+
+    flops_step = lowered_flops(step, state, batch)
+    step_mfu = mfu(flops_step, elapsed / args.steps)
+    peak = peak_flops_per_chip()
     print(
         json.dumps(
             {
@@ -107,6 +116,12 @@ def main():
                 "items_per_sec": round(steps_per_sec * args.batch, 2),
                 "final_loss": round(total, 4),
                 "n_devices": jax.device_count(),
+                "compute_dtype": args.dtype,
+                "tflops_per_step": (
+                    round(flops_step / 1e12, 3) if flops_step else None
+                ),
+                "mfu": round(step_mfu, 4) if step_mfu else None,
+                "peak_tflops": round(peak / 1e12, 1) if peak else None,
             }
         )
     )

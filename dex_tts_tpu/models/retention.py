@@ -11,10 +11,14 @@ directly in linen — one fused attention per layer, MXU-shaped (B,H,T,D)
 einsums — while also supporting the decayed (use_decay=True) parallel form
 for parity with the full retention formulation.
 
-Dead reference paths intentionally not carried over: the recurrent and
-chunkwise forward_impls (model/retention.py:99-135) are never exercised by
-any shipped config; static-shape parallel attention is the TPU-correct
-choice at these sequence lengths (≤ ~400 tokens).
+The reference's recurrent and chunkwise forward_impls
+(model/retention.py:99-135) are dead code there (never exercised by any
+shipped config) but ARE carried over here in working form —
+`recurrent_retention` and `chunkwise_retention` below — with
+parallel-form equivalence tests (tests/test_retention_forms.py). The
+shipped encoder always uses the parallel form: static-shape parallel
+attention is the TPU-correct choice at these sequence lengths
+(≤ ~400 tokens).
 """
 
 from __future__ import annotations

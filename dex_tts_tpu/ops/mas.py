@@ -211,18 +211,27 @@ def _mas_kernel(txs_ref, tys_ref, vt_ref, path_ref, bits_ref):
     jax.lax.fori_loop(0, t_y_max, bwd, onehot0)
 
 
+_VMEM_BUDGET_ELEMS = 10 * 1024 * 1024 // 4
+
+
 def _pick_batch_block(b: int, t_x: int, t_y: int) -> int:
     """Largest batch block whose VMEM footprint stays under budget.
 
     Live per-program buffers: vt + path (double-buffered by the grid
     pipeline) + bits scratch ≈ 5 × (Ty·Bb·Tx) f32. Budget ~10 MB of the
-    ~16 MB VMEM.
+    ~16 MB VMEM. At bb=1 the footprint may STILL exceed the budget for
+    pathologically long buckets (e.g. Tx 512 × Ty 2048 ≈ 20 MB) — callers
+    must check `_fits_vmem` and fall back to the scan form rather than
+    compile a kernel that cannot fit.
     """
-    budget_elems = 10 * 1024 * 1024 // 4
     bb = b
-    while bb > 1 and (5 * t_y * bb * t_x > budget_elems or b % bb):
+    while bb > 1 and (5 * t_y * bb * t_x > _VMEM_BUDGET_ELEMS or b % bb):
         bb -= 1
     return bb
+
+
+def _fits_vmem(bb: int, t_x: int, t_y: int) -> bool:
+    return 5 * t_y * bb * t_x <= _VMEM_BUDGET_ELEMS
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -231,8 +240,12 @@ def maximum_path_pallas(
 ) -> jnp.ndarray:
     """MAS as one pallas kernel (see module docstring). Same contract as
     `maximum_path_scan`; `interpret=True` runs the kernel in interpreter
-    mode for CPU tests."""
+    mode for CPU tests. Shapes whose bb=1 working set still exceeds the
+    VMEM budget dispatch to `maximum_path_scan` instead of compiling a
+    kernel that cannot fit."""
     b, t_x_max, t_y_max = value.shape
+    if not _fits_vmem(1, t_x_max, t_y_max):
+        return maximum_path_scan(value, mask)
     dtype = value.dtype
     t_xs = jnp.sum(mask[:, :, 0], axis=1).astype(jnp.int32)[:, None]
     t_ys = jnp.sum(mask[:, 0, :], axis=1).astype(jnp.int32)[:, None]

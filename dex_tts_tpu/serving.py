@@ -10,7 +10,11 @@ so a server must coalesce concurrent requests into one program dispatch.
 block on a future; a worker thread drains the queue into batches of up to
 `max_batch`, waiting at most `max_wait_ms` for stragglers, and runs the
 whole batch through one `Synthesizer.tts` call (one compiled-graph
-dispatch per frame bucket). `TTSRequestHandler`/`make_server` wrap it in
+dispatch per frame bucket). The admission queue is BOUNDED
+(`max_queue`, default 8×max_batch): under sustained overload submit()
+raises QueueFull and the HTTP layer fast-rejects with 503 + Retry-After
+instead of accumulating futures until client timeouts; /healthz exposes
+queue_depth / max_queue / rejected for capacity monitoring. `TTSRequestHandler`/`make_server` wrap it in
 a dependency-free HTTP JSON API:
 
     POST /tts     {"texts": ["...", ...]}  →  {"wavs": [b64 int16], ...}
@@ -44,6 +48,12 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
+class QueueFull(RuntimeError):
+    """Raised by MicroBatcher.submit when the admission queue is at
+    capacity — the server maps it to HTTP 503 + Retry-After instead of
+    letting futures pile up behind a ~seconds-per-dispatch accelerator."""
+
+
 class MicroBatcher:
     """Coalesce concurrent single-sentence requests into batched calls.
 
@@ -56,10 +66,17 @@ class MicroBatcher:
         max_batch: int = 16,
         max_wait_ms: float = 25.0,
         split_length_ratio: float = 2.0,
+        max_queue: int | None = None,
     ):
         self.infer_fn = infer_fn
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
+        # backpressure: bound the admission queue so sustained overload
+        # fast-rejects (QueueFull → HTTP 503) instead of accepting every
+        # request and letting futures dangle until client timeouts.
+        # Default depth = a few dispatches' worth of work; 0 disables.
+        self.max_queue = 8 * max_batch if max_queue is None else max_queue
+        self.rejected = 0  # observability (/healthz)
         # length-aware batching: Synthesizer pads every sentence in a batch
         # to the longest one's text/frame bucket, so co-batching a 10-word
         # and a 200-word request wastes ~longest/shortest of the compute.
@@ -77,14 +94,26 @@ class MicroBatcher:
     def submit(self, text: str) -> Future:
         """Enqueue one sentence. After close() the future fails fast
         instead of dangling for the full client timeout (the lock closes
-        the check-then-enqueue race against close())."""
+        the check-then-enqueue race against close()). Raises QueueFull
+        when the bounded queue is at capacity (the lock also serializes
+        the depth check against concurrent submitters; the worker only
+        ever shrinks the queue)."""
         fut: Future = Future()
         with self._submit_lock:
             if self._stop.is_set():
                 fut.set_exception(RuntimeError("server shutting down"))
                 return fut
+            if self.max_queue and self._q.qsize() >= self.max_queue:
+                self.rejected += 1
+                raise QueueFull(
+                    f"queue full ({self.max_queue} pending requests)"
+                )
             self._q.put((text, fut))
         return fut
+
+    def queue_depth(self) -> int:
+        """Current admission-queue depth (approximate under concurrency)."""
+        return self._q.qsize()
 
     def close(self):
         """Stop the worker and fail still-queued requests.
@@ -197,6 +226,22 @@ class MicroBatcher:
                     fut.set_exception(e)
 
 
+def _submit_all(batcher: MicroBatcher, texts: list) -> list:
+    """Submit every sentence or none: on QueueFull mid-loop, cancel the
+    already-submitted futures (honored for still-queued items, see
+    MicroBatcher._serve_group) so a rejected request leaves no orphaned
+    work behind, then re-raise for the 503 path."""
+    futs: list[Future] = []
+    try:
+        for t in texts:
+            futs.append(batcher.submit(t))
+    except QueueFull:
+        for f in futs:
+            f.cancel()
+        raise
+    return futs
+
+
 def _percentile(sorted_vals: list, q: float) -> float:
     """Nearest-rank percentile: ceil(q·n)−1 (int(q·n) is off by one —
     p95 of a 20-sample window would report the maximum)."""
@@ -282,13 +327,24 @@ def make_server(
         def log_message(self, *a):  # quiet
             pass
 
-        def _json(self, code: int, payload: dict):
+        def _json(self, code: int, payload: dict, headers: dict | None = None):
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
+
+        def _reject_overload(self, e: QueueFull):
+            """503 + Retry-After: roughly one max_batch dispatch's worth
+            of queue drain (clients should back off, not hammer)."""
+            return self._json(
+                503,
+                {"error": str(e), "queue_depth": batcher.queue_depth()},
+                headers={"Retry-After": "5"},
+            )
 
         def do_GET(self):
             if self.path != "/healthz":
@@ -300,6 +356,9 @@ def make_server(
                 {
                     "ok": True,
                     "batch_sizes": batcher.batch_sizes[-20:],
+                    "queue_depth": batcher.queue_depth(),
+                    "max_queue": batcher.max_queue,
+                    "rejected": batcher.rejected,
                     **counts,
                     **_latency_stats(),
                     **srv_info,
@@ -343,7 +402,10 @@ def make_server(
                 return self._json(400, {"error": str(e)})
 
             t0 = time.monotonic()
-            futs = [batcher.submit(t) for t in texts]
+            try:
+                futs = _submit_all(batcher, texts)
+            except QueueFull as e:
+                return self._reject_overload(e)
             try:
                 outs = [f.result(timeout=600) for f in futs]
             except Exception as e:
@@ -397,27 +459,43 @@ def make_server(
 
             waves = ramp_spans(len(sentences), batcher.max_batch)
 
+            # admission control happens BEFORE the 200 goes on the wire:
+            # an overloaded queue turns the whole stream away with a clean
+            # 503 the client can retry
+            t0 = time.monotonic()
+            try:
+                futs = _submit_all(
+                    batcher, sentences[waves[0][0] : waves[0][1]]
+                )
+            except QueueFull as e:
+                return self._reject_overload(e)
+
+            def _submit_wave(lo, hi, deadline_s=60.0):
+                # mid-stream the request is already admitted; under
+                # transient overload from other clients, wait for queue
+                # drain instead of killing a half-delivered stream
+                t_end = time.monotonic() + deadline_s
+                while True:
+                    try:
+                        return _submit_all(batcher, sentences[lo:hi])
+                    except QueueFull:
+                        if time.monotonic() >= t_end:
+                            raise
+                        time.sleep(0.05)
+
             self.send_response(200)
             self.send_header("Content-Type", "application/x-ndjson")
             self.send_header("Transfer-Encoding", "chunked")
             self.send_header("X-Sample-Rate", str(sample_rate))
             self.end_headers()
 
-            t0 = time.monotonic()
             total_samples = 0
-            futs = [
-                batcher.submit(s)
-                for s in sentences[waves[0][0] : waves[0][1]]
-            ]
             try:
                 for k, (lo, hi) in enumerate(waves):
                     outs = [f.result(timeout=600) for f in futs]
                     futs = []
                     if k + 1 < len(waves):
-                        nlo, nhi = waves[k + 1]
-                        futs = [
-                            batcher.submit(s) for s in sentences[nlo:nhi]
-                        ]
+                        futs = _submit_wave(*waves[k + 1])
                     for i, o in zip(range(lo, hi), outs):
                         wav = np.asarray(o["wav"], np.float32)
                         if i and pause.size:

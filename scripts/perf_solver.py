@@ -9,6 +9,23 @@ Run on the TPU: python scripts/perf_solver.py
 import sys, time
 import os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# CLI parse + validation FIRST — a bad arg after the ~1-2 min tunnel
+# compile below would waste the whole run. Override configs as e.g.
+# `euler:50 dpmpp2m:16`.
+CONFIGS = [("euler", 50), ("euler", 25), ("dpmpp2m", 25), ("dpmpp2m", 16)]
+KNOWN_SOLVERS = {"euler", "heun", "dpmpp2m"}
+if len(sys.argv) > 1:
+    CONFIGS = []
+    for s in sys.argv[1:]:
+        solver, sep, steps = s.partition(":")
+        if not sep or solver not in KNOWN_SOLVERS or not steps.isdigit():
+            sys.exit(
+                f"bad config {s!r}; usage: perf_solver.py [solver:steps ...]"
+                f" with solver in {sorted(KNOWN_SOLVERS)}"
+            )
+        CONFIGS.append((solver, int(steps)))
+
 import jax, jax.numpy as jnp, numpy as np
 from __graft_entry__ import _full_size_dex, _style_inputs
 from dex_tts_tpu.models.edm import SamplerConfig
@@ -36,12 +53,6 @@ variables = {**variables, "params": jax.tree.unflatten(
               for p, k in zip(leaves, ks)])}
 key = jax.random.PRNGKey(4)
 
-# Override on the CLI as e.g. `euler:50 dpmpp2m:16` (each compile is
-# ~1-2 min over the tunnel; trim the list to fit a timeout).
-CONFIGS = [("euler", 50), ("euler", 25), ("dpmpp2m", 25), ("dpmpp2m", 16)]
-if len(sys.argv) > 1:
-    CONFIGS = [(s.split(":")[0], int(s.split(":")[1])) for s in sys.argv[1:]]
-
 def make(solver, steps):
     cfg = SamplerConfig(num_steps=steps, solver=solver)
     @jax.jit
@@ -59,7 +70,7 @@ for c, f in fns.items():
     print(f"{c}: first call {time.time()-t0:.1f}s", flush=True)
 
 base = mels.get(("euler", 50))
-for c in CONFIGS[1:] if base is not None else []:
+for c in [c for c in CONFIGS if c != ("euler", 50)] if base is not None else []:
     rel = np.linalg.norm(mels[c] - base) / np.linalg.norm(base)
     mae = np.abs(mels[c] - base).mean()
     print(f"{c}: vs euler@50  rel L2 {rel:.4f}  mel-MAE {mae:.4f} "

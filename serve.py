@@ -55,6 +55,11 @@ def main():
                    help="split a collected batch at the largest text-"
                         "length gap when max/min exceeds this ratio "
                         "(padding waste control; 0 disables)")
+    p.add_argument("--max_queue", type=int, default=None,
+                   help="admission-queue bound: beyond this many pending "
+                        "sentences new requests are fast-rejected with "
+                        "503 + Retry-After (default 8*max_batch; 0 "
+                        "disables backpressure)")
     p.add_argument("--warmup", default="Warm up the compiled buckets.",
                    help="sentence synthesized once at startup ('' skips)")
     p.add_argument("--seed", type=int, default=100)
@@ -115,6 +120,7 @@ def main():
     batcher = MicroBatcher(
         infer, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         split_length_ratio=args.split_length_ratio,
+        max_queue=args.max_queue,
     )
     srv = make_server(
         batcher,

@@ -209,3 +209,34 @@ def test_mas_backend_dispatch(monkeypatch):
         assert calls == ["scan", "scan"]
     finally:
         mas.set_mas_backend(None)
+
+
+def test_maximum_path_pallas_vmem_overflow_falls_back(monkeypatch):
+    """Shapes whose bb=1 working set exceeds the VMEM budget must dispatch
+    to the scan form instead of compiling a kernel that cannot fit
+    (5·Ty·Tx f32 > ~10 MB even at batch block 1)."""
+    from dex_tts_tpu.ops import mas
+
+    assert not mas._fits_vmem(1, 512, 2048)  # the pathological bucket
+    assert mas._fits_vmem(1, 96, 768)        # the bench bucket fits
+
+    calls = []
+    real = mas.maximum_path_scan
+    monkeypatch.setattr(
+        mas, "maximum_path_scan",
+        lambda v, m: (calls.append("scan"), real(v, m))[1],
+    )
+    # tiny VMEM budget so a small tensor trips the guard without the cost
+    # of materializing a real 512x2048 DP on CPU
+    monkeypatch.setattr(mas, "_VMEM_BUDGET_ELEMS", 100)
+    rng = np.random.default_rng(5)
+    shapes = [(5, 12), (3, 7)]
+    value, mask = make_batch(rng, shapes, 8, 16)
+    v, m = jnp.asarray(value), jnp.asarray(mask)
+    got = np.asarray(
+        mas.maximum_path_pallas.__wrapped__(v, m, interpret=True)
+    )
+    assert calls == ["scan"]  # guard fired: no pallas_call was built
+    for i, (tx, ty) in enumerate(shapes):
+        expected = oracle_maximum_path(value[i, :tx, :ty] * 1.0, tx, ty)
+        np.testing.assert_array_equal(got[i, :tx, :ty], expected)

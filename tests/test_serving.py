@@ -491,3 +491,141 @@ def test_percentile_nearest_rank():
     assert _percentile(vals, 0.95) == 19
     assert _percentile(vals, 0.50) == 10
     assert _percentile([7.0], 0.95) == 7.0
+
+
+def test_microbatcher_bounded_queue_rejects_and_recovers():
+    """At max_queue pending sentences submit() raises QueueFull (counted
+    in .rejected); accepted work still completes once the device frees up
+    — overload sheds load, it does not dangle futures."""
+    from dex_tts_tpu.serving import QueueFull
+
+    gate = threading.Event()
+
+    def infer(texts):
+        gate.wait(10)
+        return [{"wav": np.zeros(10, np.float32), "text": t} for t in texts]
+
+    b = MicroBatcher(infer, max_batch=1, max_wait_ms=1, max_queue=2)
+    try:
+        first = b.submit("s0")  # worker takes this and blocks in infer
+        deadline = time.monotonic() + 5
+        while b.queue_depth() > 0 and time.monotonic() < deadline:
+            time.sleep(0.005)
+        accepted = [first, b.submit("s1"), b.submit("s2")]  # fills the queue
+        with pytest.raises(QueueFull):
+            b.submit("s3")
+        assert b.rejected == 1
+        gate.set()
+        outs = [f.result(timeout=10) for f in accepted]
+        assert [o["text"] for o in outs] == ["s0", "s1", "s2"]
+    finally:
+        gate.set()
+        b.close()
+
+
+def test_submit_all_rolls_back_on_queue_full():
+    """A multi-sentence request that trips the bound mid-loop cancels its
+    already-admitted futures: a rejected request leaves zero orphaned
+    sentences behind for the worker to synthesize."""
+    from dex_tts_tpu.serving import QueueFull, _submit_all
+
+    gate = threading.Event()
+    calls = []
+
+    def infer(texts):
+        calls.append(list(texts))
+        gate.wait(10)
+        return [{"wav": np.zeros(10, np.float32), "text": t} for t in texts]
+
+    b = MicroBatcher(infer, max_batch=1, max_wait_ms=1, max_queue=2)
+    try:
+        hold = b.submit("hold")  # occupy the worker
+        deadline = time.monotonic() + 5
+        while b.queue_depth() > 0 and time.monotonic() < deadline:
+            time.sleep(0.005)
+        with pytest.raises(QueueFull):
+            _submit_all(b, ["a", "b", "c"])  # third sentence overflows
+        gate.set()
+        hold.result(timeout=10)
+        probe = b.submit("probe")
+        assert probe.result(timeout=10)["text"] == "probe"
+    finally:
+        gate.set()
+        b.close()
+    # the cancelled a/b never reached the device
+    assert calls == [["hold"], ["probe"]]
+
+
+def test_http_overload_503_with_retry_after():
+    """More concurrent clients than queue capacity: extras get a fast 503
+    with Retry-After, admitted clients still get 200 audio, /healthz shows
+    the rejection; nothing dangles after the flood."""
+    gate = threading.Event()
+
+    def infer(texts):
+        gate.wait(10)
+        return [{"wav": np.full((50,), 0.5, np.float32), "text": t}
+                for t in texts]
+
+    b = MicroBatcher(infer, max_batch=1, max_wait_ms=1, max_queue=2)
+    srv = make_server(b, port=0, sample_rate=22050)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    port = srv.server_address[1]
+    results = []
+
+    def client(i):
+        results.append(_post(port, {"texts": [f"s{i}"]}, timeout=30))
+
+    try:
+        clients = [
+            threading.Thread(target=client, args=(i,)) for i in range(3)
+        ]
+        for c in clients:
+            c.start()
+        # wait until capacity is saturated: worker blocked on one sentence
+        # (batch_sizes appended before infer runs) + 2 queued
+        deadline = time.monotonic() + 5
+        while (
+            not (b.batch_sizes and b.queue_depth() >= 2)
+            and time.monotonic() < deadline
+        ):
+            time.sleep(0.005)
+        assert b.queue_depth() >= 2
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/tts",
+            data=json.dumps({"texts": ["overflow"]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=10)
+        err = exc_info.value
+        assert err.code == 503
+        assert err.headers["Retry-After"]
+        body = json.loads(err.read())
+        assert "queue full" in body["error"]
+
+        code, health = _get_healthz(port)
+        assert health["rejected"] >= 1
+        assert health["max_queue"] == 2
+
+        gate.set()
+        for c in clients:
+            c.join(timeout=30)
+        assert [code for code, _ in results] == [200, 200, 200]
+        # drained: queue empty again (sentinel-free steady state)
+        deadline = time.monotonic() + 5
+        while b.queue_depth() > 0 and time.monotonic() < deadline:
+            time.sleep(0.005)
+        assert b.queue_depth() == 0
+    finally:
+        gate.set()
+        srv.shutdown()
+        b.close()
+
+
+def _get_healthz(port):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/healthz", timeout=10
+    ) as r:
+        return r.status, json.loads(r.read())

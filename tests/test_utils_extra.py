@@ -129,3 +129,71 @@ def test_mel_cepstral_distortion():
     # the score while a same-length comparison of misaligned content would
     stretched = np.repeat(mel, 2, axis=1)
     assert mel_cepstral_distortion(mel, stretched) < 1e-4
+
+
+def test_mfu_accounting():
+    """The two XLA facts utils/mfu.py is built on, plus the arithmetic:
+    (a) Compiled.cost_analysis counts a scan body once regardless of trip
+    count — the reason flop counting uses fully-unrolled twins; (b)
+    Lowered (pre-compile) cost analysis of the unrolled graph counts
+    every iteration; (c) peak/None propagation off-TPU."""
+    import jax
+    import jax.numpy as jnp
+
+    from dex_tts_tpu.utils.mfu import lowered_flops, mfu, peak_flops_per_chip
+
+    n, steps = 64, 10
+    matmul_flops = 2 * n**3  # one n×n @ n×n
+
+    def make(unroll):
+        def f(x):
+            c, _ = jax.lax.scan(
+                lambda c, _: (c @ c, None), x, None, length=steps,
+                unroll=unroll,
+            )
+            return c
+        return f
+
+    x = jnp.ones((n, n))
+    rolled = jax.jit(make(1)).lower(x).compile().cost_analysis()
+    if isinstance(rolled, (list, tuple)):
+        rolled = rolled[0]
+    # (a) the compiled rolled scan prices ~one body, not `steps` bodies
+    assert rolled["flops"] < 2 * matmul_flops
+
+    # (b) the lowered unrolled twin prices all iterations
+    flops = lowered_flops(jax.jit(make(steps)), x)
+    assert flops is not None
+    assert abs(flops - steps * matmul_flops) < 0.1 * steps * matmul_flops
+
+    # (c) CPU backend: no peak → mfu None; flops still reported
+    assert peak_flops_per_chip() is None
+    assert mfu(flops, 1.0) is None
+    assert mfu(None, 1.0) is None
+
+
+def test_mfu_extrapolated_scan_flops():
+    """F(1)/F(2) unroll extrapolation reproduces the true scan flop count
+    without tracing all `steps` body copies."""
+    import jax
+    import jax.numpy as jnp
+
+    from dex_tts_tpu.utils.mfu import extrapolated_scan_flops
+
+    n, steps = 64, 50
+    matmul_flops = 2 * n**3
+
+    def twin(u):
+        def f(x):
+            y = x @ x  # non-loop part A (one matmul)
+            c, _ = jax.lax.scan(
+                lambda c, _: (c @ c, None), y, None, length=steps, unroll=u
+            )
+            return c
+        return jax.jit(f)
+
+    x = jnp.ones((n, n))
+    total = extrapolated_scan_flops(twin, steps, x)
+    expected = (1 + steps) * matmul_flops  # A + steps·B
+    assert total is not None
+    assert abs(total - expected) < 0.05 * expected
