@@ -50,13 +50,25 @@ class BigVGANConfig:
     # bf16, but ~0.9x speed and minutes of Mosaic compile per shape —
     # see ops/snake.py). TPU only; ignored where shapes don't tile.
     snake_pallas: bool = False
+    # Kaiser tap count for the snake's 2x anti-alias filters (k % 4 == 0).
+    # 12 matches the reference (bigvgan/alias_free_torch/resample.py:14);
+    # 8 trades stop-band attenuation for fewer VPU FLOPs — measured
+    # RTF/SNR curve in scripts/perf_bigvgan.py / docs/PERFORMANCE.md.
+    snake_taps: int = 12
+    # Optional per-upsample-stage compute dtype overriding `dtype`
+    # (len == len(upsample_rates); conv_pre runs in stage_dtypes[0], the
+    # final act/conv_post in stage_dtypes[-1]). Lets the wide early
+    # stages run bf16 while the waveform-resolution late stages stay f32.
+    # Each f32<->bf16 boundary retiles one full-T tensor — keep the
+    # boundary count at 1 (a prefix of bf16 stages, then f32).
+    stage_dtypes: tuple | None = None
 
 
-def upsample2x_antialias(x, ratio: int = 2):
+def upsample2x_antialias(x, ratio: int = 2, kernel_size: int | None = None):
     """Zero-stuff ×ratio then Kaiser-sinc interpolate — equivalent to the
     reference's conv_transpose formulation
     (reference: bigvgan/alias_free_torch/resample.py:10-33)."""
-    k = int(6 * ratio // 2) * 2
+    k = kernel_size if kernel_size is not None else int(6 * ratio // 2) * 2
     pad = k // ratio - 1
     pad_left = pad * ratio + (k - ratio) // 2
     pad_right = pad * ratio + (k - ratio + 1) // 2
@@ -75,10 +87,10 @@ def upsample2x_antialias(x, ratio: int = 2):
     return out[:, pad_left : pad_left + ratio * t, :]
 
 
-def downsample2x_antialias(x, ratio: int = 2):
+def downsample2x_antialias(x, ratio: int = 2, kernel_size: int | None = None):
     """Kaiser-sinc low-pass + decimate.
     reference: bigvgan/alias_free_torch/resample.py:36-48."""
-    k = int(6 * ratio // 2) * 2
+    k = kernel_size if kernel_size is not None else int(6 * ratio // 2) * 2
     even = k % 2 == 0
     pad_left = k // 2 - int(even)
     pad_right = k // 2
@@ -95,6 +107,7 @@ class SnakeActivation1d(nn.Module):
     variant: str = "snakebeta"  # snake | snakebeta
     logscale: bool = True
     use_pallas: bool = False
+    taps: int = 12
 
     @nn.compact
     def __call__(self, x):  # (B, T, C)
@@ -110,7 +123,10 @@ class SnakeActivation1d(nn.Module):
         # no retiling cost)
         alpha = alpha.astype(x.dtype)
         inv_beta = (1.0 / (beta + 1e-9)).astype(x.dtype)
-        return snake_antialias(x, alpha, inv_beta, use_pallas=self.use_pallas)
+        return snake_antialias(
+            x, alpha, inv_beta, use_pallas=self.use_pallas,
+            kernel_size=self.taps,
+        )
 
 
 class AMPBlock1(nn.Module):
@@ -124,6 +140,7 @@ class AMPBlock1(nn.Module):
     logscale: bool
     dtype: str = "float32"
     use_pallas: bool = False
+    taps: int = 12
 
     @nn.compact
     def __call__(self, x):
@@ -131,7 +148,7 @@ class AMPBlock1(nn.Module):
         for i, d in enumerate(self.dilations):
             h = SnakeActivation1d(
                 self.channels, self.variant, self.logscale, self.use_pallas,
-                name=f"act1_{i}"
+                self.taps, name=f"act1_{i}"
             )(x)
             pad = (self.kernel_size * d - d) // 2
             h = nn.Conv(
@@ -144,7 +161,7 @@ class AMPBlock1(nn.Module):
             )(h)
             h = SnakeActivation1d(
                 self.channels, self.variant, self.logscale, self.use_pallas,
-                name=f"act2_{i}"
+                self.taps, name=f"act2_{i}"
             )(h)
             pad = (self.kernel_size - 1) // 2
             h = nn.Conv(
@@ -169,6 +186,7 @@ class AMPBlock2(nn.Module):
     logscale: bool
     dtype: str = "float32"
     use_pallas: bool = False
+    taps: int = 12
 
     @nn.compact
     def __call__(self, x):
@@ -176,7 +194,7 @@ class AMPBlock2(nn.Module):
         for i, d in enumerate(self.dilations[:2]):
             h = SnakeActivation1d(
                 self.channels, self.variant, self.logscale, self.use_pallas,
-                name=f"act_{i}"
+                self.taps, name=f"act_{i}"
             )(x)
             pad = (self.kernel_size * d - d) // 2
             h = nn.Conv(
@@ -200,7 +218,13 @@ class BigVGANGenerator(nn.Module):
     def __call__(self, mel):
         """mel: (B, num_mels, T) → wav (B, T·Πrates) in [-1, 1]."""
         cfg = self.cfg
-        dtype = jnp.dtype(cfg.dtype)
+        stage_dtypes = cfg.stage_dtypes or (cfg.dtype,) * len(
+            cfg.upsample_rates
+        )
+        assert len(stage_dtypes) == len(cfg.upsample_rates), (
+            stage_dtypes, cfg.upsample_rates,
+        )
+        dtype = jnp.dtype(stage_dtypes[0])
         x = mel.swapaxes(1, 2).astype(dtype)
         x = nn.Conv(
             cfg.upsample_initial_channel, (7,), padding=[(3, 3)],
@@ -211,6 +235,8 @@ class BigVGANGenerator(nn.Module):
         for i, (u, k) in enumerate(
             zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)
         ):
+            dtype = jnp.dtype(stage_dtypes[i])
+            x = x.astype(dtype)
             ch = cfg.upsample_initial_channel // (2 ** (i + 1))
             p = k - 1 - (k - u) // 2  # torch p=(k-u)//2 → flax k-1-p
             x = nn.ConvTranspose(
@@ -228,14 +254,15 @@ class BigVGANGenerator(nn.Module):
             ):
                 out = block_cls(
                     ch, rk, tuple(rd), cfg.activation, cfg.snake_logscale,
-                    cfg.dtype, cfg.snake_pallas, name=f"resblock_{i}_{j}",
+                    str(stage_dtypes[i]), cfg.snake_pallas, cfg.snake_taps,
+                    name=f"resblock_{i}_{j}",
                 )(x)
                 acc = out if acc is None else acc + out
             x = acc / len(cfg.resblock_kernel_sizes)
 
         x = SnakeActivation1d(
             ch, cfg.activation, cfg.snake_logscale, cfg.snake_pallas,
-            name="act_post",
+            cfg.snake_taps, name="act_post",
         )(x)
         x = nn.Conv(1, (7,), padding=[(3, 3)], dtype=dtype, name="conv_post")(x)
         return jnp.tanh(x.astype(jnp.float32))[:, :, 0]

@@ -68,13 +68,24 @@ def kaiser_sinc_filter(cutoff: float, half_width: float, kernel_size: int):
     return filt.astype(np.float32)
 
 
-def _phase_filters():
-    """Static polyphase tap lists for ratio-2, k=12 Kaiser filters."""
-    f_up = kaiser_sinc_filter(0.25, 0.3, 12) * 2.0
-    g = kaiser_sinc_filter(0.25, 0.3, 12)
+def _phase_filters(k: int = 12):
+    """Static polyphase tap lists for ratio-2 Kaiser filters of size k.
+
+    k must be a multiple of 4 (the even/odd phase split below assumes the
+    zero-stuffed parity works out; k ≡ 2 mod 4 swaps the phases). With
+    q = k//4, the general forms are
+        up[2s]   = Σ_a f_up[k-1-2a]·x[clip(s+a-q)]
+        up[2s+1] = Σ_a f_up[k-2-2a]·x[clip(s+a-q+1)]
+        y[t]     = Σ_a g[2a]·s̃1[t+a-q] + g[2a+1]·s̃0[t+a-q+1]
+    (k=12 reproduces the taps documented in snake_antialias_polyphase;
+    smaller k trades stop-band attenuation for fewer VPU FLOPs — see
+    scripts/perf_bigvgan.py for the measured RTF-vs-SNR curve)."""
+    assert k % 4 == 0, f"polyphase split needs k % 4 == 0, got {k}"
+    f_up = kaiser_sinc_filter(0.25, 0.3, k) * 2.0
+    g = kaiser_sinc_filter(0.25, 0.3, k)
     fr = f_up[::-1]
-    f0 = [float(v) for v in fr[0::2]]  # up[2s]   taps: f_up[11-2a]
-    f1 = [float(v) for v in fr[1::2]]  # up[2s+1] taps: f_up[10-2a]
+    f0 = [float(v) for v in fr[0::2]]  # up[2s]   taps: f_up[k-1-2a]
+    f1 = [float(v) for v in fr[1::2]]  # up[2s+1] taps: f_up[k-2-2a]
     ge = [float(v) for v in g[0::2]]  # down even taps g[2a]
     go = [float(v) for v in g[1::2]]  # down odd taps g[2a+1]
     return f0, f1, ge, go
@@ -96,7 +107,7 @@ def _depthwise_conv(x, filt, stride: int):
     )
 
 
-def snake_antialias_polyphase(x, alpha, inv_beta):
+def snake_antialias_polyphase(x, alpha, inv_beta, kernel_size: int = 12):
     """Pure-XLA polyphase form of up(2×) → snake → down(2×).
 
     Derivation (matches the reference composition to float tolerance;
@@ -111,48 +122,56 @@ def snake_antialias_polyphase(x, alpha, inv_beta):
     where s̃p are the snaked phases with interleave-aware edge padding
     (left pad = phase-0 first sample, right pad = phase-1 last sample —
     the clip happens on the *interleaved* index).
+
+    kernel_size generalizes both Kaiser filters to k taps (k % 4 == 0,
+    offsets q = k//4 — see _phase_filters); k=12 is the reference value.
     """
-    f0, f1, ge, go = _phase_filters()
+    k = kernel_size
+    q = k // 4
+    f0, f1, ge, go = _phase_filters(k)
     t = x.shape[1]
     xe = jnp.concatenate(
-        [jnp.repeat(x[:, :1], 3, axis=1), x, jnp.repeat(x[:, -1:], 3, axis=1)],
+        [jnp.repeat(x[:, :1], q, axis=1), x, jnp.repeat(x[:, -1:], q, axis=1)],
         axis=1,
     )
-    p0 = _depthwise_conv(xe[:, : t + 5], f0, 1)  # up[2s]
-    p1 = _depthwise_conv(xe[:, 1 : t + 6], f1, 1)  # up[2s+1]
+    p0 = _depthwise_conv(xe[:, : t + k // 2 - 1], f0, 1)  # up[2s]
+    p1 = _depthwise_conv(xe[:, 1 : t + k // 2], f1, 1)  # up[2s+1]
 
     s0 = p0 + inv_beta * jnp.sin(p0 * alpha) ** 2
     s1 = p1 + inv_beta * jnp.sin(p1 * alpha) ** 2
 
-    left = jnp.repeat(s0[:, :1], 3, axis=1)
-    right = jnp.repeat(s1[:, -1:], 3, axis=1)
+    left = jnp.repeat(s0[:, :1], q, axis=1)
+    right = jnp.repeat(s1[:, -1:], q, axis=1)
     s0p = jnp.concatenate([left, s0, right], axis=1)
     s1p = jnp.concatenate([left, s1, right], axis=1)
 
-    y = _depthwise_conv(s1p[:, : t + 5], ge, 1)
-    return y + _depthwise_conv(s0p[:, 1 : t + 6], go, 1)
+    y = _depthwise_conv(s1p[:, : t + k // 2 - 1], ge, 1)
+    return y + _depthwise_conv(s0p[:, 1 : t + k // 2], go, 1)
 
 
-def _snake_kernel(x_ref, a_ref, b_ref, o_ref, *, tt: int, t_total: int):
+def _snake_kernel(
+    x_ref, a_ref, b_ref, o_ref, *, tt: int, t_total: int, k: int = 12
+):
     """One (batch, C-tile, T-tile) grid step, everything in VMEM.
 
-    x_ref: (1, 1, tt+12, Ct) — input tile with 6-sample halo each side
-           (rows are the edge-padded signal X[m]=x[clip(m-6)], so the
+    x_ref: (1, 1, tt+k, Ct) — input tile with k/2-sample halo each side
+           (rows are the edge-padded signal X[m]=x[clip(m-k/2)], so the
            upsample's x-side clipping is already baked in).
     o_ref: (1, tt, Ct).
     """
-    f0, f1, ge, go = _phase_filters()
-    x = x_ref[0, 0]  # (tt+12, Ct)
+    f0, f1, ge, go = _phase_filters(k)
+    q = k // 4
+    x = x_ref[0, 0]  # (tt+k, Ct)
     al = a_ref[:]  # (1, Ct)
     ib = b_ref[:]
-    n6 = tt + 6
+    nn = tt + k // 2
 
-    # upsample phases over local rows u ∈ [0, tt+6), global m = t0-3+u
-    p0 = f0[0] * x[0:n6]
-    p1 = f1[0] * x[1 : 1 + n6]
-    for a in range(1, 6):
-        p0 = p0 + f0[a] * x[a : a + n6]
-        p1 = p1 + f1[a] * x[a + 1 : a + 1 + n6]
+    # upsample phases over local rows u ∈ [0, tt+k/2), global m = t0-q+u
+    p0 = f0[0] * x[0:nn]
+    p1 = f1[0] * x[1 : 1 + nn]
+    for a in range(1, k // 2):
+        p0 = p0 + f0[a] * x[a : a + nn]
+        p1 = p1 + f1[a] * x[a + 1 : a + 1 + nn]
 
     s0 = p0 + ib * jnp.sin(p0 * al) ** 2
     s1 = p1 + ib * jnp.sin(p1 * al) ** 2
@@ -160,15 +179,15 @@ def _snake_kernel(x_ref, a_ref, b_ref, o_ref, *, tt: int, t_total: int):
     # interleave-aware edge pad: interleaved indices < 0 clip to s0[m=0],
     # ≥ 2T-1 clip to s1[m=T-1] (only first/last tiles have such rows)
     ti = pl.program_id(2)
-    m = jax.lax.broadcasted_iota(jnp.int32, (n6, 1), 0) + ti * tt - 3
-    pad_lo = s0[3:4]  # m = 0 row (first tile only)
-    pad_hi = s1[tt + 2 : tt + 3]  # m = T-1 row (last tile only)
+    m = jax.lax.broadcasted_iota(jnp.int32, (nn, 1), 0) + ti * tt - q
+    pad_lo = s0[q : q + 1]  # m = 0 row (first tile only)
+    pad_hi = s1[tt + k // 2 - 1 - q : tt + k // 2 - q]  # m = T-1 row
     s0 = jnp.where(m < 0, pad_lo, jnp.where(m >= t_total, pad_hi, s0))
     s1 = jnp.where(m < 0, pad_lo, jnp.where(m >= t_total, pad_hi, s1))
 
-    # downsample: y[t] = Σ_a ge[a]·s̃1[t+a-3] + go[a]·s̃0[t+a-2]
+    # downsample: y[t] = Σ_a ge[a]·s̃1[t+a-q] + go[a]·s̃0[t+a-q+1]
     y = ge[0] * s1[0:tt] + go[0] * s0[1 : 1 + tt]
-    for a in range(1, 6):
+    for a in range(1, k // 2):
         y = y + ge[a] * s1[a : a + tt] + go[a] * s0[a + 1 : a + 1 + tt]
     o_ref[0] = y
 
@@ -186,33 +205,37 @@ def _pick_tiles(t: int, c: int):
     return tt, ct
 
 
-def snake_antialias_pallas(x, alpha, inv_beta, *, interpret: bool = False):
+def snake_antialias_pallas(
+    x, alpha, inv_beta, *, kernel_size: int = 12, interpret: bool = False
+):
     """Fused anti-aliased snake. x: (B, T, C); alpha/inv_beta: (C,)."""
     b, t, c = x.shape
+    k = kernel_size
     tiles = _pick_tiles(t, c)
     assert tiles is not None, f"unsupported shape {(b, t, c)}"
     tt, ct = tiles
     n_t, n_c = t // tt, c // ct
 
-    # edge pad by 6 (X[m] = x[clip(m-6)]) then materialize overlapping
-    # tiles with a gather: (B, n_t, tt+12, C). Halo traffic is 12/tt ≈ 1%.
+    # edge pad by k/2 (X[m] = x[clip(m-k/2)]) then materialize overlapping
+    # tiles with a gather: (B, n_t, tt+k, C). Halo traffic is k/tt ≈ 1%.
+    h = k // 2
     xpad = jnp.concatenate(
-        [jnp.repeat(x[:, :1], 6, axis=1), x, jnp.repeat(x[:, -1:], 6, axis=1)],
+        [jnp.repeat(x[:, :1], h, axis=1), x, jnp.repeat(x[:, -1:], h, axis=1)],
         axis=1,
     )
-    idx = np.arange(n_t)[:, None] * tt + np.arange(tt + 12)[None, :]
-    x_ov = jnp.take(xpad, jnp.asarray(idx), axis=1)  # (B, n_t, tt+12, C)
+    idx = np.arange(n_t)[:, None] * tt + np.arange(tt + k)[None, :]
+    x_ov = jnp.take(xpad, jnp.asarray(idx), axis=1)  # (B, n_t, tt+k, C)
 
     a2 = alpha.reshape(1, c).astype(x.dtype)
     b2 = inv_beta.reshape(1, c).astype(x.dtype)
 
-    kernel = functools.partial(_snake_kernel, tt=tt, t_total=t)
+    kernel = functools.partial(_snake_kernel, tt=tt, t_total=t, k=k)
     return pl.pallas_call(
         kernel,
         grid=(b, n_c, n_t),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, tt + 12, ct),
+                (1, 1, tt + k, ct),
                 lambda bi, ci, ti: (bi, ti, 0, ci),
                 memory_space=pltpu.VMEM,
             ),
@@ -231,31 +254,41 @@ def snake_antialias_pallas(x, alpha, inv_beta, *, interpret: bool = False):
     )(x_ov, a2, b2)
 
 
-@jax.custom_vjp
-def _snake_pallas_op(x, alpha, inv_beta):
-    return snake_antialias_pallas(x, alpha, inv_beta)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _snake_pallas_op(x, alpha, inv_beta, kernel_size=12):
+    return snake_antialias_pallas(x, alpha, inv_beta, kernel_size=kernel_size)
 
 
-def _snake_fwd(x, alpha, inv_beta):
-    return _snake_pallas_op(x, alpha, inv_beta), (x, alpha, inv_beta)
+def _snake_fwd(x, alpha, inv_beta, kernel_size):
+    return (
+        _snake_pallas_op(x, alpha, inv_beta, kernel_size),
+        (x, alpha, inv_beta),
+    )
 
 
-def _snake_bwd(res, g):
+def _snake_bwd(kernel_size, res, g):
     # gradients via the (numerically identical) XLA polyphase path —
     # vocoder training is off the synthesis hot path
     x, alpha, inv_beta = res
-    _, vjp = jax.vjp(snake_antialias_polyphase, x, alpha, inv_beta)
+    _, vjp = jax.vjp(
+        lambda a, b, c: snake_antialias_polyphase(a, b, c, kernel_size),
+        x, alpha, inv_beta,
+    )
     return vjp(g)
 
 
 _snake_pallas_op.defvjp(_snake_fwd, _snake_bwd)
 
 
-def snake_antialias(x, alpha, inv_beta, use_pallas: bool = False):
+def snake_antialias(
+    x, alpha, inv_beta, use_pallas: bool = False, kernel_size: int = 12
+):
     """2× anti-aliased snake. x: (B, T, C); alpha/inv_beta broadcastable
     (C,). `use_pallas` opts into the fused kernel (bit-accurate, but
     slightly slower and minutes of Mosaic compile per shape — see module
-    docstring); requires the TPU backend and supported shapes."""
+    docstring); requires the TPU backend and supported shapes.
+    kernel_size sets both Kaiser filters' tap count (k % 4 == 0; 12 is
+    the reference value, 8 trades ~... dB stop-band for VPU FLOPs)."""
     if (
         use_pallas
         and jax.default_backend() == "tpu"
@@ -263,5 +296,5 @@ def snake_antialias(x, alpha, inv_beta, use_pallas: bool = False):
     ):
         alpha = jnp.broadcast_to(jnp.asarray(alpha, x.dtype), (x.shape[-1],))
         inv_beta = jnp.broadcast_to(jnp.asarray(inv_beta, x.dtype), (x.shape[-1],))
-        return _snake_pallas_op(x, alpha, inv_beta)
-    return snake_antialias_polyphase(x, alpha, inv_beta)
+        return _snake_pallas_op(x, alpha, inv_beta, kernel_size)
+    return snake_antialias_polyphase(x, alpha, inv_beta, kernel_size)

@@ -104,3 +104,45 @@ def test_bigvgan_random_init_runs():
     wav = model.apply(params, mel)
     assert wav.shape == (1, 80)
     assert float(jnp.abs(wav).max()) <= 1.0
+
+
+def test_bigvgan_stage_dtypes_and_taps():
+    """Per-stage mixed precision + reduced snake taps: same param tree as
+    the f32/k=12 config (dtype/taps are compute-only knobs), output close
+    to the f32 reference on the same weights."""
+    import dataclasses
+
+    model32 = BigVGANGenerator(TINY)
+    mel = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 8, 16)), jnp.float32
+    )
+    variables = model32.init(jax.random.PRNGKey(0), mel)
+    ref = model32.apply(variables, mel)
+
+    mixed = dataclasses.replace(TINY, stage_dtypes=("bfloat16", "float32"))
+    got = BigVGANGenerator(mixed).apply(variables, mel)
+    assert got.shape == ref.shape
+    assert np.isfinite(np.asarray(got)).all()
+    # bf16 early stage: close but not identical (random-init weights are
+    # a rough proxy; the real SNR receipt is scripts/perf_bigvgan.py)
+    rel = np.linalg.norm(np.asarray(got) - np.asarray(ref)) / np.linalg.norm(
+        np.asarray(ref)
+    )
+    assert 0 < rel < 0.5, rel
+
+    short = dataclasses.replace(TINY, snake_taps=8)
+    model8 = BigVGANGenerator(short)
+    # identical param tree: the k=8 model accepts the k=12 weights
+    got8 = model8.apply(variables, mel)
+    assert np.isfinite(np.asarray(got8)).all()
+    err8 = np.abs(np.asarray(got8) - np.asarray(ref)).max()
+    assert err8 > 0  # different filters, different (close) output
+
+
+def test_bigvgan_stage_dtypes_length_mismatch_raises():
+    import dataclasses
+
+    bad = dataclasses.replace(TINY, stage_dtypes=("bfloat16",))
+    mel = jnp.zeros((1, 8, 10))
+    with pytest.raises(AssertionError):
+        BigVGANGenerator(bad).init(jax.random.PRNGKey(0), mel)

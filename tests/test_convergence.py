@@ -1,0 +1,224 @@
+"""Training-convergence (overfit) proof: the full training dynamics work,
+not just "loss goes down".
+
+A synthetic micro-language gives every claim a ground truth: token i
+always emits a fixed mel signature SIG[i] for a fixed duration DUR[i].
+Overfitting one batch for a few hundred steps must therefore produce
+(a) MAS alignments that match the true durations (monotonic by
+    construction, but *correct* and *stable* only if mu_x learns),
+(b) a duration predictor that reproduces those alignments,
+(c) a 50-step EDM sampler that reconstructs the token signatures.
+This catches loss-wiring/sign bugs that random-init parity and
+loss-decreases smoke tests cannot (VERDICT r2 §missing-1).
+
+Reference dynamics being replicated: DEX-TTS/model/tts.py:76-153 (MAS +
+duration + diffusion losses) and DEX-TTS/src/train.py:180-214.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dex_tts_tpu.models.dit import DiTConfig
+from dex_tts_tpu.models.edm import SamplerConfig
+from dex_tts_tpu.models.tts import DeXTTS, GeDEXTTS, _log_prior
+from dex_tts_tpu.ops import maximum_path, sequence_mask
+from dex_tts_tpu.train import create_train_state
+from dex_tts_tpu.train.trainer import make_train_step
+
+pytestmark = pytest.mark.slow
+
+N_FEATS = 16
+N_TOK = 8  # token ids 1..8; 0 is padding
+
+_rng = np.random.default_rng(0)
+SIG = _rng.standard_normal((N_TOK + 1, N_FEATS)).astype(np.float32)
+DUR = np.array([0] + [3 + (i % 4) for i in range(1, N_TOK + 1)])  # 3..6
+
+
+def make_batch(b=4, tx=10, seed=1):
+    """One fixed batch of the micro-language, plus true durations."""
+    r = np.random.default_rng(seed)
+    xs, mels = [], []
+    for _ in range(b):
+        toks = r.integers(1, N_TOK + 1, (tx,))
+        xs.append(toks)
+        mels.append(
+            np.concatenate([np.tile(SIG[t], (DUR[t], 1)) for t in toks])
+        )
+    ty = ((max(m.shape[0] for m in mels) + 15) // 16) * 16
+    y = np.zeros((b, N_FEATS, ty), np.float32)
+    y_lengths = np.zeros((b,), np.int32)
+    lf0 = np.zeros((b, ty), np.float32)
+    for i, m in enumerate(mels):
+        y[i, :, : m.shape[0]] = m.T
+        y_lengths[i] = m.shape[0]
+        lf0[i, : m.shape[0]] = np.repeat(xs[i] / N_TOK - 0.5, DUR[xs[i]])
+    batch = {
+        "x": np.stack(xs).astype(np.int32),
+        "x_lengths": np.full((b,), tx, np.int32),
+        "y": y,
+        "y_lengths": y_lengths,
+        "lf0": lf0,
+    }
+    return batch, np.stack([DUR[t] for t in xs])
+
+
+def style_inputs(batch, use_style):
+    """DeX conditions on the target utterance itself during training
+    (reference: DEX-TTS/src/dataset.py:41-42 — sty == ref == y)."""
+    if not use_style:
+        return {}
+    return {
+        "ref": jnp.asarray(batch["y"]),
+        "ref_lengths": jnp.asarray(batch["y_lengths"]),
+        "sty": jnp.asarray(batch["y"]),
+        "sty_lengths": jnp.asarray(batch["y_lengths"]),
+        "lf0": jnp.asarray(batch["lf0"]),
+        "lf0_lengths": jnp.asarray(batch["y_lengths"]),
+    }
+
+
+def _front(mod, x, x_lengths, **cond_inputs):
+    """mu_x/logw/x_mask for either family (style-conditioned for DeX)."""
+    if mod.use_style:
+        cond = mod._cond_from_inputs(train=False, **cond_inputs)
+        return mod.encoder(x, x_lengths, sty=cond["sty_enc"], train=False)
+    return mod.encode(x, x_lengths)
+
+
+def mas_durations(model, variables, batch):
+    """(MAS durations, predicted durations), both (B, Tx) in frames."""
+    mu_x, logw, x_mask = model.apply(
+        variables, jnp.asarray(batch["x"]), jnp.asarray(batch["x_lengths"]),
+        method=_front, **style_inputs(batch, model.use_style),
+    )
+    y = jnp.asarray(batch["y"])
+    y_mask = sequence_mask(
+        jnp.asarray(batch["y_lengths"]), y.shape[-1]
+    ).astype(mu_x.dtype)
+    attn_mask = x_mask[:, :, 0][:, :, None] * y_mask[:, None, :]
+    attn = maximum_path(_log_prior(y, mu_x, N_FEATS), attn_mask)
+    mas_dur = np.asarray(jnp.sum(attn, axis=-1))
+    pred_dur = np.asarray(jnp.exp(logw[:, :, 0]) * x_mask[:, :, 0])
+    return mas_dur, pred_dur
+
+
+def frame_token_acc(durs, gt_dur, toks, lengths):
+    """Fraction of frames assigned the right token id — robust to the
+    benign boundary ambiguity between adjacent identical tokens (any
+    split of their frames is equally MAS-optimal)."""
+    accs = []
+    for i in range(durs.shape[0]):
+        a = np.repeat(toks[i], np.round(durs[i]).astype(int).clip(0))
+        b = np.repeat(toks[i], gt_dur[i])
+        n = min(len(a), len(b), int(lengths[i]))
+        accs.append((a[:n] == b[:n]).mean() if n else 0.0)
+    return float(np.mean(accs))
+
+
+def synth_mae(model, variables, batch, steps=50):
+    """(raw MAE vs GT frames, MAE vs the mel implied by the model's own
+    alignment). The aligned MAE isolates denoiser reconstruction from
+    total-duration error, which is asserted separately."""
+    ty = batch["y"].shape[-1]
+    sampler = SamplerConfig(num_steps=steps)
+    _, dec, attn, y_len = model.apply(
+        variables, jax.random.PRNGKey(0), jnp.asarray(batch["x"]),
+        jnp.asarray(batch["x_lengths"]), ty, sampler,
+        method=type(model).synthesize,
+        **style_inputs(batch, model.use_style),
+    )
+    dec, attn, y_len = np.asarray(dec), np.asarray(attn), np.asarray(y_len)
+    gt = batch["y"]
+    maes, amaes = [], []
+    for i in range(gt.shape[0]):
+        n = min(int(y_len[i]), int(batch["y_lengths"][i]))
+        maes.append(np.abs(dec[i, :, :n] - gt[i, :, :n]).mean())
+        tok_per_frame = batch["x"][i][attn[i, :, : int(y_len[i])].argmax(0)]
+        expected = SIG[tok_per_frame].T
+        amaes.append(np.abs(dec[i, :, : int(y_len[i])] - expected).mean())
+    return float(np.mean(maes)), float(np.mean(amaes))
+
+
+def build_model(family):
+    dit = DiTConfig(patch_size=3, stride_size=2, hidden_size=32, depth=1,
+                    num_heads=2, mlp_ratio=2.0, conv_pos=4, conv_pos_groups=2)
+    kw = dict(
+        n_vocab=N_TOK + 1, n_feats=N_FEATS, enc_channels=32,
+        enc_filter_channels=64, enc_filter_channels_dp=32, enc_heads=2,
+        enc_layers=2, enc_dropout=0.0, dec_dim=16, dec_dim_mults=(1, 2),
+        dit=dit,
+    )
+    if family == "gedex":
+        return GeDEXTTS(**kw)
+    # tiv_c_h must equal the U-Net mid dim (dec_dim * last mult = 32):
+    # the TIV adaptor's AdaIN stats live in that channel space
+    return DeXTTS(
+        **kw,
+        tv_c_h=16, tv_c_out=32, tv_c_out_g=16, tv_layers=1, tv_n_emb=8,
+        lf0_c_h=16, lf0_c_out=32, lf0_c_out_g=16, lf0_layers=1,
+        tiv_c_h=32, tiv_c_out=8, tiv_layers=1,
+    )
+
+
+def variables_of(state):
+    v = {"params": state.params}
+    if state.batch_stats:
+        v["batch_stats"] = state.batch_stats
+    if state.vq_stats:
+        v["vq_stats"] = state.vq_stats
+    return v
+
+
+@pytest.mark.parametrize("family", ["gedex", "dex"])
+def test_overfit_convergence(family):
+    batch, gt_dur = make_batch()
+    model = build_model(family)
+    train_batch = {k: v for k, v in batch.items() if k != "lf0"}
+    train_batch.update(
+        {k: np.asarray(v)
+         for k, v in style_inputs(batch, model.use_style).items()}
+    )
+    state, tx = create_train_state(
+        model, train_batch, seed=7, lr=1e-3, max_grad=1.0
+    )
+    step_fn = jax.jit(
+        make_train_step(model, tx, out_size=None, ema_decay=0.99)
+    )
+
+    v0 = variables_of(state)
+    mae0, amae0 = synth_mae(model, v0, batch)
+
+    jb = {k: jnp.asarray(v) for k, v in train_batch.items()}
+    checkpoints = {}
+    for i in range(600):
+        state, metrics = step_fn(state, jb)
+        if (i + 1) in (500, 600):
+            checkpoints[i + 1] = mas_durations(
+                model, variables_of(state), batch
+            )
+
+    v1 = variables_of(state)
+    mas, pred = checkpoints[600]
+
+    # (a) MAS alignment converged to the true durations...
+    acc = frame_token_acc(mas, gt_dur, batch["x"], batch["y_lengths"])
+    assert acc >= 0.90, f"MAS frame-token accuracy {acc}"
+    # ...and is stable late in training (paths no longer wandering)
+    drift = np.abs(mas - checkpoints[500][0]).mean()
+    assert drift <= 2.0, f"MAS drift over last 100 steps: {drift} frames"
+
+    # (b) the duration predictor reproduces the converged alignment
+    dur_err = np.abs(pred - mas).mean()
+    assert dur_err <= 1.5, f"predicted vs MAS durations: {dur_err} frames"
+
+    # (c) the 50-step sampler reconstructs the training signal
+    mae1, amae1 = synth_mae(model, v1, batch)
+    assert amae1 < 0.20 * amae0, (
+        f"aligned reconstruction MAE {amae1} vs init {amae0}"
+    )
+    assert mae1 < 0.80 * mae0, f"raw MAE {mae1} vs init {mae0}"
+    # loss actually went down, too (sanity on the final metrics dict)
+    assert float(metrics["diff_loss"]) < 1.0

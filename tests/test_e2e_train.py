@@ -13,6 +13,8 @@ import pytest
 
 from dex_tts_tpu.utils import Config
 
+pytestmark = pytest.mark.slow
+
 
 def make_corpus(root, n=12, n_mels=16, seed=0):
     rng = np.random.default_rng(seed)

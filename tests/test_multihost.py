@@ -18,6 +18,8 @@ import pytest
 
 from tests.test_train import make_fake_dataset, tiny_model
 
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -22,9 +22,12 @@ from dex_tts_tpu.ops import fix_len_compatibility  # noqa: E402
 from tests.torch_twins import TTSTwin  # noqa: E402
 
 REF = "/root/reference/DEX-TTS"
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF), reason="reference repo not mounted"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.path.isdir(REF), reason="reference repo not mounted"
+    ),
+]
 if os.path.isdir(REF):
     import importlib.util
 

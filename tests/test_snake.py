@@ -88,3 +88,29 @@ def test_custom_vjp_matches_polyphase_grad():
     gr = jax.grad(loss_poly, argnums=(0, 1, 2))(x, al, ib)
     for a, b in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("k", [8, 16])
+@pytest.mark.parametrize("b,t,c", [(2, 17, 5), (1, 64, 3)])
+def test_polyphase_generalized_taps(k, b, t, c):
+    """kernel_size != 12: the polyphase split must still match the naive
+    zero-stuff composition built with the same k-tap Kaiser filters."""
+    x, al, ib = _inputs(b, t, c, seed=4)
+    up = upsample2x_antialias(x, kernel_size=k)
+    s = up + ib * jnp.sin(up * al) ** 2
+    ref = downsample2x_antialias(s, kernel_size=k)
+    got = sk.snake_antialias_polyphase(x, al, ib, kernel_size=k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("k", [8, 16])
+def test_pallas_kernel_generalized_taps(k):
+    x, al, ib = _inputs(2, 768, 24, seed=5)
+    ref = sk.snake_antialias_polyphase(x, al, ib, kernel_size=k)
+    got = sk.snake_antialias_pallas(x, al, ib, kernel_size=k, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_phase_filters_reject_non_mult4():
+    with pytest.raises(AssertionError):
+        sk._phase_filters(10)

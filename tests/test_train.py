@@ -50,6 +50,7 @@ def model_state():
     return model, state, tx
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss(model_state):
     model, state, tx = model_state
     step = jax.jit(make_train_step(model, tx, out_size=16, ema_decay=0.99))
@@ -67,6 +68,7 @@ def test_train_step_reduces_loss(model_state):
     assert np.isfinite(np.asarray(leaf)).all()
 
 
+@pytest.mark.slow
 def test_valid_step(model_state):
     model, state, _ = model_state
     vstep = jax.jit(make_valid_step(model, out_size=16))
@@ -74,6 +76,7 @@ def test_valid_step(model_state):
     assert np.isfinite(float(losses["total_loss"]))
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(model_state, tmp_path):
     model, state, tx = model_state
     mgr = CheckpointManager(os.path.join(tmp_path, "ckpt"))
@@ -85,6 +88,7 @@ def test_checkpoint_roundtrip(model_state, tmp_path):
     assert int(restored.step) == int(state.step)
 
 
+@pytest.mark.slow
 def test_data_parallel_matches_single_device(model_state):
     model, state, tx = model_state
     assert jax.device_count() >= 8, "conftest should provide 8 CPU devices"
@@ -106,6 +110,7 @@ def test_data_parallel_matches_single_device(model_state):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_tensor_parallel_matches_single_device(model_state):
     """dp=4 x tp=2: Megatron-style column/row param sharding (parallel/tp.py)
     must reproduce the single-device step numerics — XLA SPMD inserts the
@@ -242,6 +247,7 @@ def test_batcher_prefetch_equivalence(tmp_path):
             np.testing.assert_array_equal(e[k], t[k])
 
 
+@pytest.mark.slow
 def test_assembled_global_batch_matches_single_device(model_state):
     """Local-shard assembly via jax.make_array_from_process_local_data feeds
     the dp step with the same numbers as a plain single-device step."""
@@ -263,6 +269,7 @@ def test_assembled_global_batch_matches_single_device(model_state):
     assert np.isclose(float(m1["total_loss"]), float(m8["total_loss"]), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_trainer_epoch_metric_accumulation(tmp_path):
     """run_epoch's device-side metric sums average to the same values as
     stepping manually (single host sync per epoch)."""
@@ -296,6 +303,7 @@ def test_trainer_epoch_metric_accumulation(tmp_path):
     assert np.isfinite(got_val["total_loss"])
 
 
+@pytest.mark.slow
 def test_gradient_accumulation(model_state):
     """accum_steps>1: one optimizer update from sequentially folded
     micro-batches — runs under jit, finite metrics, stats threaded, and is
@@ -325,6 +333,7 @@ def test_gradient_accumulation(model_state):
     assert float(delta) > 0
 
 
+@pytest.mark.slow
 def test_preemption_checkpoints_and_exits(tmp_path):
     """SIGTERM mid-epoch → the Trainer finishes the in-flight step, saves
     last/preempt, and fit() returns early; resume picks up the state

@@ -70,6 +70,7 @@ def setup():
     return gen, state, jax.jit(step)
 
 
+@pytest.mark.slow
 def test_vocoder_step_updates_and_converges(setup):
     gen, state, step = setup
     first = None
@@ -111,6 +112,7 @@ def test_vocoder_checkpoint_roundtrip(setup, tmp_path):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_vocoder_dp_step_matches_single_device(setup):
     """Same batch through the dp-sharded step == single-device step."""
     from dex_tts_tpu.parallel import make_mesh, make_parallel_train_step
@@ -164,6 +166,7 @@ def test_wav_paths_from_filelist(tmp_path):
     assert os.path.isfile(paths[0])
 
 
+@pytest.mark.slow
 def test_load_vocoder_orbax_generator(setup, tmp_path):
     """load_vocoder restores a flax-native generator checkpoint written by
     train_vocoder.py (orbax `gen_last` dir + config.json arch)."""
@@ -254,6 +257,7 @@ def test_dataset_cache_bound(tmp_path):
     assert len(ds2._cache) == 3
 
 
+@pytest.mark.slow
 def test_generator_warm_start_from_torch_release(tmp_path):
     """train_vocoder --init_gen: a released torch generator checkpoint
     (weight-normed) replaces the fresh generator params (optimizer reset),
