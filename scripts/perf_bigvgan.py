@@ -46,6 +46,15 @@ VARIANTS = {
     "bf16x5_k8": BigVGANConfig(
         num_mels=80, stage_dtypes=(BF, BF, BF, BF, BF, F), snake_taps=8
     ),
+    # f32 head, bf16 tail: measured speed gains live in the late (long-T)
+    # stages while the SNR damage concentrates in the early stages, so
+    # protect the head and quantize the tail.
+    "f32x1_bf16": BigVGANConfig(
+        num_mels=80, stage_dtypes=(F, BF, BF, BF, BF, BF)
+    ),
+    "f32x2_bf16": BigVGANConfig(
+        num_mels=80, stage_dtypes=(F, F, BF, BF, BF, BF)
+    ),
 }
 
 

@@ -1,0 +1,117 @@
+"""TPU roofline for the BigVGAN generator at bench shapes: is the
+vocoder compute-bound or HBM-bandwidth-bound on v5e?
+
+Method: compile the generator alone, read the OPTIMIZED executable's
+cost analysis (post-fusion flops + bytes accessed — the unoptimized
+HLO overcounts bytes by every fused intermediate), time it interleaved
+in-process, and compare against the v5e ceilings:
+
+  t_flops = flops / peak_flops        (197 Tf/s bf16; f32 ~1/2 of that
+                                       through the MXU -> both shown)
+  t_bw    = bytes accessed / 819 GB/s (v5e HBM)
+
+Whichever ceiling is larger is the speed-of-light bound; achieved-%
+against it is the verdict. VERDICT r2 item 1 asked for exactly this
+receipt if the AA/snake chain turned out bandwidth-bound.
+
+Run on the TPU: python scripts/roofline_bigvgan.py [rounds]
+(`--smoke` runs tiny shapes on CPU to exercise the harness; its
+ceilings are v5e numbers, so treat smoke output as plumbing-only.)
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+SMOKE = "--smoke" in sys.argv
+if SMOKE:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from dex_tts_tpu.models.vocoder import BigVGANConfig, BigVGANGenerator
+
+B, TY = (2, 64) if SMOKE else (16, 768)
+HBM_GBPS = 819e9       # v5e HBM bandwidth
+PEAK_BF16 = 197e12     # v5e dense bf16 matmul peak
+DISPATCH_S = 0.030     # measured remote-tunnel per-dispatch overhead
+
+VARIANTS = {
+    "f32": BigVGANConfig(num_mels=80),
+    "bf16_all": BigVGANConfig(num_mels=80, dtype="bfloat16"),
+}
+
+
+def main():
+    argv = [a for a in sys.argv[1:] if a != "--smoke"]
+    rounds = int(argv[0]) if argv else (1 if SMOKE else 5)
+    print(f"backend={jax.default_backend()} devices={jax.devices()}",
+          flush=True)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((B, 80, TY)) * 1.5, jnp.float32)
+
+    base = BigVGANGenerator(VARIANTS["f32"])
+    params = jax.jit(
+        lambda: base.init(jax.random.PRNGKey(0), mel[:1])["params"]
+    )()
+    leaves, treedef = jax.tree.flatten(params)
+    ks = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+    params = jax.tree.unflatten(
+        treedef,
+        [p + 0.05 * jax.random.normal(k, p.shape, p.dtype)
+         for p, k in zip(leaves, ks)],
+    )
+
+    compiled, cost = {}, {}
+    for name, cfg in VARIANTS.items():
+        model = BigVGANGenerator(cfg)
+        t0 = time.time()
+        exe = (
+            jax.jit(lambda p, m, model=model: model.apply({"params": p}, m))
+            .lower(params, mel)
+            .compile()
+        )
+        ca = exe.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        compiled[name] = exe
+        cost[name] = ca or {}
+        print(f"compiled {name} in {time.time()-t0:.0f}s "
+              f"flops={cost[name].get('flops', 0)/1e9:.1f} G "
+              f"bytes={cost[name].get('bytes accessed', 0)/1e9:.2f} GB",
+              flush=True)
+
+    times = {n: [] for n in VARIANTS}
+    for r in range(rounds):
+        for name, exe in compiled.items():
+            t0 = time.perf_counter()
+            float(jnp.sum(exe(params, mel)))
+            times[name].append(time.perf_counter() - t0)
+    audio_s = B * TY * 256 / 22050
+
+    print(f"\n=== v5e roofline (batch {B}, {TY} frames, "
+          f"{audio_s:.1f}s audio/batch) ===")
+    for name in VARIANTS:
+        flops = float(cost[name].get("flops", 0))
+        byts = float(cost[name].get("bytes accessed", 0))
+        wall = float(np.median(times[name])) - DISPATCH_S
+        t_fl = flops / PEAK_BF16
+        t_bw = byts / HBM_GBPS
+        bound = "bandwidth" if t_bw > t_fl else "compute"
+        sol = max(t_bw, t_fl)
+        print(
+            f"{name:9s} wall {wall*1e3:7.1f} ms | "
+            f"t_flops {t_fl*1e3:6.1f} ms  t_bw {t_bw*1e3:6.1f} ms "
+            f"-> {bound}-bound | speed-of-light {sol*1e3:6.1f} ms "
+            f"({sol/wall*100:.0f}% achieved) | "
+            f"eff-BW {byts/wall/1e9:.0f} GB/s "
+            f"({byts/wall/HBM_GBPS*100:.0f}% of HBM)"
+        )
+
+
+if __name__ == "__main__":
+    main()
