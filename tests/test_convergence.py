@@ -7,9 +7,13 @@ Overfitting one batch for a few hundred steps must therefore produce
 (a) MAS alignments that match the true durations (monotonic by
     construction, but *correct* and *stable* only if mu_x learns),
 (b) a duration predictor that reproduces those alignments,
-(c) a 50-step EDM sampler that reconstructs the token signatures.
+(c) a 50-step EDM sampler that reconstructs the token signatures,
+(d) few-step dpmpp2m@16 matching euler@50 on the trained denoiser,
+(e) dit_cache=5 turbo sampling staying within the converged regime.
 This catches loss-wiring/sign bugs that random-init parity and
-loss-decreases smoke tests cannot (VERDICT r2 §missing-1).
+loss-decreases smoke tests cannot (VERDICT r2 §missing-1), and gives
+the few-step/turbo samplers trained-model quality evidence that the
+random-init A/Bs cannot (VERDICT r2 §weak-6/9).
 
 Reference dynamics being replicated: DEX-TTS/model/tts.py:76-153 (MAS +
 duration + diffusion losses) and DEX-TTS/src/train.py:180-214.
@@ -118,12 +122,12 @@ def frame_token_acc(durs, gt_dur, toks, lengths):
     return float(np.mean(accs))
 
 
-def synth_mae(model, variables, batch, steps=50):
+def synth_mae(model, variables, batch, steps=50, **sampler_kw):
     """(raw MAE vs GT frames, MAE vs the mel implied by the model's own
     alignment). The aligned MAE isolates denoiser reconstruction from
     total-duration error, which is asserted separately."""
     ty = batch["y"].shape[-1]
-    sampler = SamplerConfig(num_steps=steps)
+    sampler = SamplerConfig(num_steps=steps, **sampler_kw)
     _, dec, attn, y_len = model.apply(
         variables, jax.random.PRNGKey(0), jnp.asarray(batch["x"]),
         jnp.asarray(batch["x_lengths"]), ty, sampler,
@@ -222,3 +226,34 @@ def test_overfit_convergence(family):
     assert mae1 < 0.80 * mae0, f"raw MAE {mae1} vs init {mae0}"
     # loss actually went down, too (sanity on the final metrics dict)
     assert float(metrics["diff_loss"]) < 1.0
+
+    # (d) few-step DPM-Solver++(2M) on the TRAINED denoiser: 16 evals
+    # must land in the same reconstruction regime as 50 euler evals.
+    # This is the trained-model counterpart of the toy-ODE convergence
+    # test in test_parity_edm.py (VERDICT r2 weak-6: random-init
+    # denoisers are rough in sigma; trained ones are where 2nd-order
+    # pays off). Measured: gedex amae 0.0741 (euler@50 0.0709),
+    # dex 0.0325 (euler@50 0.0319), vs init ~1.16 — within 4.5%.
+    _, amae_dpm = synth_mae(
+        model, v1, batch, steps=16, solver="dpmpp2m"
+    )
+    print(f"[{family}] amae0={amae0:.4f} amae1={amae1:.4f} "
+          f"dpmpp2m16={amae_dpm:.4f}", flush=True)
+    assert amae_dpm < max(1.5 * amae1, 0.08 * amae0), (
+        f"dpmpp2m@16 aligned MAE {amae_dpm} vs euler@50 {amae1} "
+        f"(init {amae0})"
+    )
+
+    # (e) DiT-cache turbo sampling (interval 5) on the TRAINED model:
+    # approximate but must stay in the converged regime, not revert
+    # toward init. Measured: gedex amae 0.0714, dex 0.0313 — within
+    # 1% of the exact sampler on a converged denoiser (the mid-block
+    # output is smooth in sigma once trained).
+    _, amae_cache = synth_mae(
+        model, v1, batch, steps=50, dit_cache_interval=5
+    )
+    print(f"[{family}] dit_cache5={amae_cache:.4f}", flush=True)
+    assert amae_cache < max(2.0 * amae1, 0.10 * amae0), (
+        f"dit_cache=5 aligned MAE {amae_cache} vs exact {amae1} "
+        f"(init {amae0})"
+    )
