@@ -93,6 +93,41 @@ def main():
             times[name].append(time.perf_counter() - t0)
     audio_s = B * TY * 256 / 22050
 
+    # Per-op receipt: the isolated anti-aliased snake at each stage shape
+    # (T, C after each upsample; the generator runs ~18 of these per
+    # stage). Ideal HBM time = 2 passes (read+write) at 819 GB/s; the
+    # achieved-% column shows how far the op's XLA lowering is from the
+    # bandwidth ceiling, independent of the whole-graph roofline.
+    from dex_tts_tpu.ops.snake import snake_antialias
+
+    cfg = VARIANTS["f32"]
+    t_stage, c_stage = TY, cfg.upsample_initial_channel
+    stage_shapes = []
+    for r in cfg.upsample_rates:
+        t_stage, c_stage = t_stage * r, c_stage // 2
+        stage_shapes.append((t_stage, c_stage))
+    print(f"\n=== isolated snake_antialias per stage shape "
+          f"(B={B}, f32, net of {DISPATCH_S*1e3:.0f} ms dispatch) ===")
+    rng2 = np.random.default_rng(1)
+    for t_s, c_s in stage_shapes:
+        xs = jnp.asarray(
+            rng2.standard_normal((B, t_s, c_s)), jnp.float32)
+        al = jnp.asarray(rng2.standard_normal((c_s,)) * 0.1, jnp.float32)
+        ib = jnp.asarray(rng2.standard_normal((c_s,)) * 0.1, jnp.float32)
+        f = jax.jit(snake_antialias)
+        float(jnp.sum(f(xs, al, ib)))  # compile
+        ts = []
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            float(jnp.sum(f(xs, al, ib)))
+            ts.append(time.perf_counter() - t0)
+        net = max(float(np.median(ts)) - DISPATCH_S, 1e-9)
+        byts = B * t_s * c_s * 4
+        ideal = 2 * byts / HBM_GBPS
+        print(f"T={t_s:7d} C={c_s:4d}  {net*1e3:7.2f} ms  "
+              f"ideal(2-pass) {ideal*1e3:5.2f} ms  "
+              f"{ideal/net*100:5.1f}% of HBM ceiling", flush=True)
+
     print(f"\n=== v5e roofline (batch {B}, {TY} frames, "
           f"{audio_s:.1f}s audio/batch) ===")
     for name in VARIANTS:
