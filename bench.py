@@ -63,6 +63,11 @@ def main():
     p.add_argument("--steps", type=int, default=N_STEPS,
                    help="sampler steps (headline: 50); pair with "
                         "--solver dpmpp2m for the few-step regime")
+    p.add_argument("--snake_impl", default="polyphase",
+                   choices=["polyphase", "fold", "pallas"],
+                   help="BigVGAN snake lowering (ops/snake.py); 'fold' is "
+                        "the fused full-lane TPU kernel, 'polyphase' the "
+                        "pure-XLA form (identical to float tolerance)")
     args = p.parse_args()
     if args.dit_cache > 1 and args.steps % args.dit_cache:
         p.error(
@@ -85,7 +90,9 @@ def main():
     style = _style_inputs(b, 80, t_ref) if dex else {}
 
     if args.vocoder == "bigvgan":
-        vocoder = BigVGANGenerator(BigVGANConfig(num_mels=80))
+        vocoder = BigVGANGenerator(
+            BigVGANConfig(num_mels=80, snake_impl=args.snake_impl)
+        )
     else:
         vocoder = HiFiGANGenerator(HiFiGANConfig(num_mels=80))
 
@@ -193,10 +200,12 @@ def main():
     )
 
     flops_e2e = extrapolated_scan_flops(
-        _wav_flops_twin, args.steps, variables, voc_params, key, *inputs
+        _wav_flops_twin, args.steps, variables, voc_params, key, *inputs,
+        compile_fallback=True,
     )
     flops_mel = extrapolated_scan_flops(
-        _mel_flops_twin, args.steps, variables, key, *inputs
+        _mel_flops_twin, args.steps, variables, key, *inputs,
+        compile_fallback=True,
     )
     mfu_e2e = mfu(flops_e2e, wav_s)
     mfu_mel = mfu(flops_mel, mel_s)

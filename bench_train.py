@@ -101,7 +101,7 @@ def main():
     # loop is MAS whose flops are negligible (~2 ms of ~200 ms, max/add)
     from dex_tts_tpu.utils.mfu import lowered_flops, mfu, peak_flops_per_chip
 
-    flops_step = lowered_flops(step, state, batch)
+    flops_step = lowered_flops(step, state, batch, compile_fallback=True)
     step_mfu = mfu(flops_step, elapsed / args.steps)
     peak = peak_flops_per_chip()
     print(

@@ -50,6 +50,12 @@ class BigVGANConfig:
     # bf16, but ~0.9x speed and minutes of Mosaic compile per shape —
     # see ops/snake.py). TPU only; ignored where shapes don't tile.
     snake_pallas: bool = False
+    # Snake lowering: "polyphase" (pure XLA), "fold" (fused pallas kernel
+    # in the folded full-lane layout — the fast TPU path at narrow C,
+    # see ops/snake.py:snake_antialias_fold), or "pallas" (legacy NWC
+    # kernel). snake_pallas=True overrides to "pallas" for back-compat.
+    # Non-polyphase impls fall back to polyphase off-TPU.
+    snake_impl: str = "polyphase"
     # Kaiser tap count for the snake's 2x anti-alias filters (k % 4 == 0).
     # 12 matches the reference (bigvgan/alias_free_torch/resample.py:14);
     # 8 trades stop-band attenuation for fewer VPU FLOPs — measured
@@ -108,6 +114,7 @@ class SnakeActivation1d(nn.Module):
     logscale: bool = True
     use_pallas: bool = False
     taps: int = 12
+    impl: str = "polyphase"
 
     @nn.compact
     def __call__(self, x):  # (B, T, C)
@@ -125,7 +132,7 @@ class SnakeActivation1d(nn.Module):
         inv_beta = (1.0 / (beta + 1e-9)).astype(x.dtype)
         return snake_antialias(
             x, alpha, inv_beta, use_pallas=self.use_pallas,
-            kernel_size=self.taps,
+            kernel_size=self.taps, impl=self.impl,
         )
 
 
@@ -141,6 +148,7 @@ class AMPBlock1(nn.Module):
     dtype: str = "float32"
     use_pallas: bool = False
     taps: int = 12
+    impl: str = "polyphase"
 
     @nn.compact
     def __call__(self, x):
@@ -148,7 +156,7 @@ class AMPBlock1(nn.Module):
         for i, d in enumerate(self.dilations):
             h = SnakeActivation1d(
                 self.channels, self.variant, self.logscale, self.use_pallas,
-                self.taps, name=f"act1_{i}"
+                self.taps, self.impl, name=f"act1_{i}"
             )(x)
             pad = (self.kernel_size * d - d) // 2
             h = nn.Conv(
@@ -161,7 +169,7 @@ class AMPBlock1(nn.Module):
             )(h)
             h = SnakeActivation1d(
                 self.channels, self.variant, self.logscale, self.use_pallas,
-                self.taps, name=f"act2_{i}"
+                self.taps, self.impl, name=f"act2_{i}"
             )(h)
             pad = (self.kernel_size - 1) // 2
             h = nn.Conv(
@@ -187,6 +195,7 @@ class AMPBlock2(nn.Module):
     dtype: str = "float32"
     use_pallas: bool = False
     taps: int = 12
+    impl: str = "polyphase"
 
     @nn.compact
     def __call__(self, x):
@@ -194,7 +203,7 @@ class AMPBlock2(nn.Module):
         for i, d in enumerate(self.dilations[:2]):
             h = SnakeActivation1d(
                 self.channels, self.variant, self.logscale, self.use_pallas,
-                self.taps, name=f"act_{i}"
+                self.taps, self.impl, name=f"act_{i}"
             )(x)
             pad = (self.kernel_size * d - d) // 2
             h = nn.Conv(
@@ -231,6 +240,7 @@ class BigVGANGenerator(nn.Module):
             dtype=dtype, name="conv_pre",
         )(x)
 
+        impl = "pallas" if cfg.snake_pallas else cfg.snake_impl
         block_cls = AMPBlock1 if cfg.resblock == "1" else AMPBlock2
         for i, (u, k) in enumerate(
             zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)
@@ -255,14 +265,14 @@ class BigVGANGenerator(nn.Module):
                 out = block_cls(
                     ch, rk, tuple(rd), cfg.activation, cfg.snake_logscale,
                     str(stage_dtypes[i]), cfg.snake_pallas, cfg.snake_taps,
-                    name=f"resblock_{i}_{j}",
+                    impl, name=f"resblock_{i}_{j}",
                 )(x)
                 acc = out if acc is None else acc + out
             x = acc / len(cfg.resblock_kernel_sizes)
 
         x = SnakeActivation1d(
             ch, cfg.activation, cfg.snake_logscale, cfg.snake_pallas,
-            cfg.snake_taps, name="act_post",
+            cfg.snake_taps, impl, name="act_post",
         )(x)
         x = nn.Conv(1, (7,), padding=[(3, 3)], dtype=dtype, name="conv_post")(x)
         return jnp.tanh(x.astype(jnp.float32))[:, :, 0]

@@ -254,6 +254,158 @@ def snake_antialias_pallas(
     )(x_ov, a2, b2)
 
 
+def _fold_factor(c: int):
+    """Smallest f with f·c a whole number of 128-lane registers (≤ 768)."""
+    for lanes in (128, 256, 384, 512, 640, 768):
+        if lanes % c == 0:
+            return lanes // c
+    return None
+
+
+def _snake_fold_kernel(x_ref, a_ref, b_ref, o_ref, *, f, c, lf, hl, rb, k):
+    """One (batch, row-block) grid step in the folded (T/f, f·C) layout.
+
+    x_ref: (1, 1, RB, lf) — folded rows [r0-hl, r0+rb+hr) (halo rows,
+           clamped at the global edges; edge samples are recomputed
+           exactly outside the kernel). Lane l holds channel l % c at
+           fold position l // c, so a time shift of +s is a roll by
+           s // f rows plus a lane roll by (s % f)·c with a one-row
+           carry for the lanes that wrap past the fold boundary.
+    o_ref: (1, rb, lf).
+    """
+    q2 = k // 2
+    f0, f1, ge, go = _phase_filters(k)
+    x = x_ref[0, 0]  # (RB, lf)
+    al = a_ref[:]  # (1, lf)
+    ib = b_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+
+    def roll(arr, s, axis):  # backward roll: out[j] = arr[j + s]
+        # pltpu.roll wants a non-negative shift; a backward roll by s is a
+        # forward roll by dim - s (circular). Wrapped rows land beyond the
+        # rb rows we keep (halo sizing guarantees reads stay in-block).
+        s %= arr.shape[axis]
+        return pltpu.roll(arr, arr.shape[axis] - s, axis) if s else arr
+
+    def tshift(arr, s):  # arr at folded time j -> arr at time j + s
+        b0, a1 = divmod(s, f)
+        d = roll(arr, b0, 0)
+        if a1 == 0:
+            return d
+        e = roll(arr, b0 + 1, 0)
+        g1 = roll(d, a1 * c, 1)
+        g2 = roll(e, a1 * c, 1)
+        return jnp.where(lane < lf - a1 * c, g1, g2)
+
+    # local X[j] = x[Tbase + j]; P0[j] = p0[Tbase + j + k/4],
+    # P1[j] = p1[Tbase + j + k/4 - 1] (same shifted reads, both phases)
+    xs = [tshift(x, a) for a in range(q2)]
+    p0 = sum(f0[a] * xs[a] for a in range(q2))
+    p1 = sum(f1[a] * xs[a] for a in range(q2))
+    s0 = p0 + ib * jnp.sin(p0 * al) ** 2
+    s1 = p1 + ib * jnp.sin(p1 * al) ** 2
+
+    # y[t] = Σ_a ge[a]·s1[t+a-k/4] + go[a]·s0[t+a-k/4+1]; with the S
+    # alignments above both terms land at the same local offset.
+    base = hl * f - (q2 - 1)
+    y = None
+    for a in range(q2):
+        term = ge[a] * tshift(s1, base + a) + go[a] * tshift(s0, base + a)
+        y = term if y is None else y + term
+    o_ref[0] = y[:rb]
+
+
+def snake_antialias_fold(
+    x, alpha, inv_beta, *, kernel_size: int = 12, interpret: bool = False
+):
+    """Fused anti-aliased snake in the folded full-lane layout.
+
+    (B, T, C) is viewed as (B, T/f, f·C) — a free reshape of contiguous
+    NWC memory — so every vector register is fully occupied even at the
+    narrow late BigVGAN stages (C=24 → 16·24=384 lanes vs 24/128 used by
+    the NWC polyphase convs). The whole up→snake→down chain then runs in
+    one pallas kernel (one HBM read + one write + a ~1% halo gather)
+    with all FIR taps as forward rolls. Global edge samples (where the
+    reference clips on the interleaved signal —
+    bigvgan/alias_free_torch/resample.py:10-48) are recomputed exactly
+    by the polyphase path on two tiny slices and spliced in.
+    """
+    b, t, c = x.shape
+    k = kernel_size
+    f = _fold_factor(c)
+    assert f is not None and t % f == 0, (t, c)
+    rows = t // f
+    for rb in (256, 128, 64, 32, 16, 8):
+        if rows % rb == 0 and rows >= rb:
+            break
+    else:
+        raise ValueError(f"rows {rows} not tileable")
+    lf = f * c
+    q2 = k // 2
+    hl = max(1, -(-(q2 - 1) // f))
+    hr = hl + -(-q2 // f) + 1
+    rb_tot = rb + hl + hr
+    nblk = rows // rb
+
+    xf = x.reshape(b, rows, lf)
+    idx = (
+        np.arange(nblk)[:, None] * rb + np.arange(rb_tot)[None, :] - hl
+    ).clip(0, rows - 1)
+    x_ov = jnp.take(xf, jnp.asarray(idx), axis=1)  # (B, nblk, RB, lf)
+
+    af = jnp.tile(jnp.asarray(alpha, x.dtype), f).reshape(1, lf)
+    bf = jnp.tile(jnp.asarray(inv_beta, x.dtype), f).reshape(1, lf)
+
+    kernel = functools.partial(
+        _snake_fold_kernel, f=f, c=c, lf=lf, hl=hl, rb=rb, k=k
+    )
+    y = pl.pallas_call(
+        kernel,
+        grid=(b, nblk),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, rb_tot, lf),
+                lambda bi, ni: (bi, ni, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, lf), lambda bi, ni: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lf), lambda bi, ni: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rb, lf), lambda bi, ni: (bi, ni, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, rows, lf), x.dtype),
+        interpret=interpret,
+    )(x_ov, af, bf).reshape(b, t, c)
+
+    # exact edges: the kernel's clamped halo rows stand in for the
+    # reference's interleave-aware clipping only approximately
+    n_edge = max(k + hl * f, 16)
+    m = n_edge + 2 * k
+    yl = snake_antialias_polyphase(x[:, :m], alpha, inv_beta, k)[:, :n_edge]
+    yr = snake_antialias_polyphase(x[:, -m:], alpha, inv_beta, k)[:, -n_edge:]
+    y = y.at[:, :n_edge].set(yl).at[:, -n_edge:].set(yr)
+    return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _snake_fold_op(x, alpha, inv_beta, kernel_size=12):
+    return snake_antialias_fold(x, alpha, inv_beta, kernel_size=kernel_size)
+
+
+def _snake_fold_fwd(x, alpha, inv_beta, kernel_size):
+    return (
+        _snake_fold_op(x, alpha, inv_beta, kernel_size),
+        (x, alpha, inv_beta),
+    )
+
+
+_snake_fold_op.defvjp(_snake_fold_fwd, lambda k, res, g: _snake_bwd(k, res, g))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _snake_pallas_op(x, alpha, inv_beta, kernel_size=12):
     return snake_antialias_pallas(x, alpha, inv_beta, kernel_size=kernel_size)
@@ -280,20 +432,46 @@ def _snake_bwd(kernel_size, res, g):
 _snake_pallas_op.defvjp(_snake_fwd, _snake_bwd)
 
 
+def _fold_ok(t: int, c: int) -> bool:
+    f = _fold_factor(c)
+    return (
+        f is not None
+        and t % f == 0
+        and (t // f) % 8 == 0
+        and t // f >= 8
+        and t >= 2 * (max(12 + f, 16) + 24)  # room for the edge fixup
+    )
+
+
 def snake_antialias(
-    x, alpha, inv_beta, use_pallas: bool = False, kernel_size: int = 12
+    x,
+    alpha,
+    inv_beta,
+    use_pallas: bool = False,
+    kernel_size: int = 12,
+    impl: str | None = None,
 ):
     """2× anti-aliased snake. x: (B, T, C); alpha/inv_beta broadcastable
-    (C,). `use_pallas` opts into the fused kernel (bit-accurate, but
-    slightly slower and minutes of Mosaic compile per shape — see module
-    docstring); requires the TPU backend and supported shapes.
+    (C,). impl selects the lowering (falls back to polyphase off-TPU or
+    on unsupported shapes):
+      - "polyphase" — pure-XLA NWC depthwise convs (works everywhere).
+      - "fold" — fused pallas kernel in the folded full-lane layout
+        (see snake_antialias_fold): the fast TPU path at narrow C.
+      - "pallas" — fused NWC-layout pallas kernel (bit-accurate where
+        XLA default-precision convs round inputs to bf16, but ~0.9x and
+        minutes of Mosaic compile; `use_pallas=True` is the legacy alias).
     kernel_size sets both Kaiser filters' tap count (k % 4 == 0; 12 is
     the reference value, 8 trades ~... dB stop-band for VPU FLOPs)."""
-    if (
-        use_pallas
-        and jax.default_backend() == "tpu"
-        and _pick_tiles(x.shape[1], x.shape[2])
-    ):
+    if impl is None:
+        impl = "pallas" if use_pallas else "polyphase"
+    on_tpu = jax.default_backend() == "tpu"
+    if impl == "fold" and on_tpu and _fold_ok(x.shape[1], x.shape[2]):
+        alpha = jnp.broadcast_to(jnp.asarray(alpha, x.dtype), (x.shape[-1],))
+        inv_beta = jnp.broadcast_to(
+            jnp.asarray(inv_beta, x.dtype), (x.shape[-1],)
+        )
+        return _snake_fold_op(x, alpha, inv_beta, kernel_size)
+    if impl == "pallas" and on_tpu and _pick_tiles(x.shape[1], x.shape[2]):
         alpha = jnp.broadcast_to(jnp.asarray(alpha, x.dtype), (x.shape[-1],))
         inv_beta = jnp.broadcast_to(jnp.asarray(inv_beta, x.dtype), (x.shape[-1],))
         return _snake_pallas_op(x, alpha, inv_beta, kernel_size)

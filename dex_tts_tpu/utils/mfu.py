@@ -56,13 +56,9 @@ def peak_flops_per_chip() -> float | None:
     return None
 
 
-def lowered_flops(jitted_fn, *args, **kwargs) -> float | None:
-    """Analytical FLOPs of `jitted_fn(*args)` from unoptimized-HLO cost
-    analysis (no backend compile). None when the backend/jaxlib does not
-    expose a flops estimate. See module docstring for the scan caveat —
-    pass a fully-unrolled twin of any looped graph."""
+def _flops_of(cost_analysis_fn) -> float | None:
     try:
-        ca = jitted_fn.lower(*args, **kwargs).cost_analysis()
+        ca = cost_analysis_fn()
     except Exception:
         return None
     if isinstance(ca, (list, tuple)):
@@ -73,8 +69,32 @@ def lowered_flops(jitted_fn, *args, **kwargs) -> float | None:
     return float(flops)
 
 
+def lowered_flops(
+    jitted_fn, *args, compile_fallback: bool = False, **kwargs
+) -> float | None:
+    """Analytical FLOPs of `jitted_fn(*args)` from unoptimized-HLO cost
+    analysis (no backend compile). None when the backend/jaxlib does not
+    expose a flops estimate. See module docstring for the scan caveat —
+    pass a fully-unrolled twin of any looped graph.
+
+    compile_fallback: the axon remote-TPU backend exposes no pre-compile
+    cost analysis (measured: Lowered.cost_analysis() is empty there while
+    Compiled.cost_analysis() works, cf. scripts/roofline_bigvgan.py).
+    When set, fall back to compiling the twin (~1-2 min on the tunnel) —
+    post-optimization flops, equally valid for a utilization metric."""
+    try:
+        lowered = jitted_fn.lower(*args, **kwargs)
+    except Exception:
+        return None
+    flops = _flops_of(lowered.cost_analysis)
+    if flops is None and compile_fallback:
+        flops = _flops_of(lambda: lowered.compile().cost_analysis())
+    return flops
+
+
 def extrapolated_scan_flops(
-    jit_fn_at_unroll, steps: int, *args, **kwargs
+    jit_fn_at_unroll, steps: int, *args, compile_fallback: bool = False,
+    **kwargs
 ) -> float | None:
     """Total FLOPs of a graph whose single loop scans `steps` iterations,
     WITHOUT tracing `steps` body copies (full unroll of a 50-step
@@ -85,8 +105,14 @@ def extrapolated_scan_flops(
     copy, so F(u) = A + u·B with A = non-loop flops, B = per-iteration
     flops — two cheap lowerings (u=1, 2) give
     total = A + steps·B = F(1) + (steps−1)·(F(2)−F(1))."""
-    f1 = lowered_flops(jit_fn_at_unroll(1), *args, **kwargs)
-    f2 = lowered_flops(jit_fn_at_unroll(2), *args, **kwargs)
+    f1 = lowered_flops(
+        jit_fn_at_unroll(1), *args, compile_fallback=compile_fallback,
+        **kwargs,
+    )
+    f2 = lowered_flops(
+        jit_fn_at_unroll(2), *args, compile_fallback=compile_fallback,
+        **kwargs,
+    )
     if f1 is None or f2 is None or f2 <= f1:
         return None
     return f1 + (steps - 1) * (f2 - f1)

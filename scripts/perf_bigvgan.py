@@ -55,6 +55,10 @@ VARIANTS = {
     "f32x2_bf16": BigVGANConfig(
         num_mels=80, stage_dtypes=(F, F, BF, BF, BF, BF)
     ),
+    # folded full-lane fused snake kernel (ops/snake.py:snake_antialias_fold)
+    # — attacks the measured 2-10%-of-HBM-ceiling narrow-C stages directly
+    "fold_f32": BigVGANConfig(num_mels=80, snake_impl="fold"),
+    "fold_bf16": BigVGANConfig(num_mels=80, dtype=BF, snake_impl="fold"),
 }
 
 

@@ -109,24 +109,27 @@ def main():
     print(f"\n=== isolated snake_antialias per stage shape "
           f"(B={B}, f32, net of {DISPATCH_S*1e3:.0f} ms dispatch) ===")
     rng2 = np.random.default_rng(1)
+    import functools
+
     for t_s, c_s in stage_shapes:
         xs = jnp.asarray(
             rng2.standard_normal((B, t_s, c_s)), jnp.float32)
         al = jnp.asarray(rng2.standard_normal((c_s,)) * 0.1, jnp.float32)
         ib = jnp.asarray(rng2.standard_normal((c_s,)) * 0.1, jnp.float32)
-        f = jax.jit(snake_antialias)
-        float(jnp.sum(f(xs, al, ib)))  # compile
-        ts = []
-        for _ in range(rounds):
-            t0 = time.perf_counter()
-            float(jnp.sum(f(xs, al, ib)))
-            ts.append(time.perf_counter() - t0)
-        net = max(float(np.median(ts)) - DISPATCH_S, 1e-9)
         byts = B * t_s * c_s * 4
         ideal = 2 * byts / HBM_GBPS
-        print(f"T={t_s:7d} C={c_s:4d}  {net*1e3:7.2f} ms  "
-              f"ideal(2-pass) {ideal*1e3:5.2f} ms  "
-              f"{ideal/net*100:5.1f}% of HBM ceiling", flush=True)
+        for impl in ("polyphase", "fold"):
+            f = jax.jit(functools.partial(snake_antialias, impl=impl))
+            float(jnp.sum(f(xs, al, ib)))  # compile
+            ts = []
+            for _ in range(rounds):
+                t0 = time.perf_counter()
+                float(jnp.sum(f(xs, al, ib)))
+                ts.append(time.perf_counter() - t0)
+            net = max(float(np.median(ts)) - DISPATCH_S, 1e-9)
+            print(f"T={t_s:7d} C={c_s:4d} {impl:9s} {net*1e3:7.2f} ms  "
+                  f"ideal(2-pass) {ideal*1e3:5.2f} ms  "
+                  f"{ideal/net*100:5.1f}% of HBM ceiling", flush=True)
 
     print(f"\n=== v5e roofline (batch {B}, {TY} frames, "
           f"{audio_s:.1f}s audio/batch) ===")

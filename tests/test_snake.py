@@ -114,3 +114,98 @@ def test_pallas_kernel_generalized_taps(k):
 def test_phase_filters_reject_non_mult4():
     with pytest.raises(AssertionError):
         sk._phase_filters(10)
+
+
+# --- folded full-lane kernel (snake_antialias_fold) ---
+
+
+@pytest.mark.parametrize(
+    "b,t,c",
+    [
+        (2, 8192, 24),   # f=16, multi row-block
+        (1, 4096, 48),   # f=8
+        (2, 4096, 96),   # f=4
+        (1, 2048, 128),  # f=1: pure sublane-roll path
+        (1, 1024, 384),  # f=1, 3-vreg lanes
+    ],
+)
+def test_fold_kernel_matches_polyphase(b, t, c):
+    """Interpret mode exercises the exact kernel (folded layout, roll
+    shifts with fold-boundary carry, halo gather, edge fixup)."""
+    x, al, ib = _inputs(b, t, c, seed=6)
+    assert sk._fold_ok(t, c)
+    ref = sk.snake_antialias_polyphase(x, al, ib)
+    got = sk.snake_antialias_fold(x, al, ib, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_fold_edge_fixup_exact_at_boundaries():
+    """First/last samples go through the interleave-aware clipping of the
+    reference; the fold path recomputes them via polyphase — they must be
+    bitwise-identical to the polyphase output there."""
+    x, al, ib = _inputs(2, 8192, 24, seed=7)
+    ref = np.asarray(sk.snake_antialias_polyphase(x, al, ib))
+    got = np.asarray(sk.snake_antialias_fold(x, al, ib, interpret=True))
+    np.testing.assert_array_equal(got[:, :16], ref[:, :16])
+    np.testing.assert_array_equal(got[:, -16:], ref[:, -16:])
+
+
+@pytest.mark.parametrize("k", [8, 16])
+def test_fold_kernel_generalized_taps(k):
+    x, al, ib = _inputs(1, 4096, 48, seed=8)
+    ref = sk.snake_antialias_polyphase(x, al, ib, kernel_size=k)
+    got = sk.snake_antialias_fold(x, al, ib, kernel_size=k, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_fold_bf16():
+    x, al, ib = _inputs(1, 4096, 24, seed=9)
+    xb = x.astype(jnp.bfloat16)
+    ref = sk.snake_antialias_polyphase(xb, al.astype(jnp.bfloat16),
+                                       ib.astype(jnp.bfloat16))
+    got = sk.snake_antialias_fold(xb, al.astype(jnp.bfloat16),
+                                  ib.astype(jnp.bfloat16), interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=0.15
+    )
+
+
+def test_fold_custom_vjp_matches_polyphase_grad():
+    x, al, ib = _inputs(1, 2048, 24, seed=10)
+
+    def loss_fold(x, al, ib):
+        return jnp.sum(sk._snake_fold_op(x, al, ib) ** 2)
+
+    def loss_poly(x, al, ib):
+        return jnp.sum(sk.snake_antialias_polyphase(x, al, ib) ** 2)
+
+    orig = sk.snake_antialias_fold
+    sk.snake_antialias_fold = lambda x, a, i, **kw: orig(
+        x, a, i, **{**kw, "interpret": True}
+    )
+    try:
+        gp = jax.grad(loss_fold, argnums=(0, 1, 2))(x, al, ib)
+    finally:
+        sk.snake_antialias_fold = orig
+    gr = jax.grad(loss_poly, argnums=(0, 1, 2))(x, al, ib)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_fold_dispatch_falls_back_off_tpu():
+    """impl='fold' off-TPU must silently use polyphase (identical output)."""
+    x, al, ib = _inputs(1, 4096, 24, seed=11)
+    got = sk.snake_antialias(x, al, ib, impl="fold")
+    ref = sk.snake_antialias_polyphase(x, al, ib)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fold_ok_predicate():
+    assert sk._fold_ok(196608, 24) and sk._fold_ok(3072, 768)
+    assert not sk._fold_ok(100, 24)      # T % f != 0
+    assert not sk._fold_ok(4096, 7)      # no lane-filling fold factor
+    assert sk._fold_factor(24) == 16 and sk._fold_factor(96) == 4
+    assert sk._fold_factor(768) == 1
