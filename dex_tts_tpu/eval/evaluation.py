@@ -108,6 +108,8 @@ def load_vocoder(cfg, strict: bool = False):
             arch["dtype"] = str(cfg.vocoder_dtype)
         if cfg.get("vocoder_snake_pallas"):
             arch["snake_pallas"] = bool(cfg.vocoder_snake_pallas)
+        if cfg.get("vocoder_snake_impl"):
+            arch["snake_impl"] = str(cfg.vocoder_snake_impl)
         voc = BigVGANGenerator(BigVGANConfig(**arch))
         candidates = [os.path.join(path, "g_05000000"), path] if path else []
         convert = bigvgan_torch_to_flax

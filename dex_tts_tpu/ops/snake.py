@@ -275,9 +275,14 @@ def _snake_fold_kernel(x_ref, a_ref, b_ref, o_ref, *, f, c, lf, hl, rb, k):
     """
     q2 = k // 2
     f0, f1, ge, go = _phase_filters(k)
-    x = x_ref[0, 0]  # (RB, lf)
-    al = a_ref[:]  # (1, lf)
-    ib = b_ref[:]
+    out_dtype = o_ref.dtype
+    # Mosaic's vector rotate is 32-bit only ("Rotate with non-32-bit
+    # data" on real v5e for bf16) — and the VPU computes in f32 anyway.
+    # bf16 is a storage format here: loads/stores keep the bandwidth
+    # win, the in-VMEM working set computes in f32.
+    x = x_ref[0, 0].astype(jnp.float32)  # (RB, lf)
+    al = a_ref[:].astype(jnp.float32)  # (1, lf)
+    ib = b_ref[:].astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
 
     def roll(arr, s, axis):  # backward roll: out[j] = arr[j + s]
@@ -312,7 +317,7 @@ def _snake_fold_kernel(x_ref, a_ref, b_ref, o_ref, *, f, c, lf, hl, rb, k):
     for a in range(q2):
         term = ge[a] * tshift(s1, base + a) + go[a] * tshift(s0, base + a)
         y = term if y is None else y + term
-    o_ref[0] = y[:rb]
+    o_ref[0] = y[:rb].astype(out_dtype)
 
 
 def snake_antialias_fold(

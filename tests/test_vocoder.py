@@ -257,3 +257,22 @@ def test_load_vocoder_strict_raises_without_checkpoint(tmp_path):
     # non-strict still smoke-falls-back
     voc, params = load_vocoder(cfg)
     assert params
+
+
+def test_load_vocoder_snake_impl_knob():
+    """`vocoder_snake_impl` in the eval yaml reaches BigVGANConfig (the
+    TPU fold/polyphase lowering selector, ops/snake.py)."""
+    from dex_tts_tpu.eval.evaluation import load_vocoder
+    from dex_tts_tpu.utils import Config
+
+    cfg = Config(
+        {
+            "vocoder": "bigvgan",
+            "preprocess": {"n_mels": 80},
+            "path": {},
+            "vocoder_snake_impl": "fold",
+        }
+    )
+    voc, params = load_vocoder(cfg)
+    assert voc.cfg.snake_impl == "fold"
+    assert params
