@@ -63,11 +63,12 @@ def main():
     p.add_argument("--steps", type=int, default=N_STEPS,
                    help="sampler steps (headline: 50); pair with "
                         "--solver dpmpp2m for the few-step regime")
-    p.add_argument("--snake_impl", default="polyphase",
-                   choices=["polyphase", "fold", "pallas"],
-                   help="BigVGAN snake lowering (ops/snake.py); 'fold' is "
-                        "the fused full-lane TPU kernel, 'polyphase' the "
-                        "pure-XLA form (identical to float tolerance)")
+    p.add_argument("--snake_impl", default="auto",
+                   choices=["auto", "polyphase", "fold", "pallas"],
+                   help="BigVGAN snake lowering (ops/snake.py); 'auto' "
+                        "picks the measured winner per dtype (fold for "
+                        "bf16, polyphase for f32), 'fold' forces the "
+                        "fused full-lane TPU kernel")
     args = p.parse_args()
     if args.dit_cache > 1 and args.steps % args.dit_cache:
         p.error(

@@ -50,12 +50,14 @@ class BigVGANConfig:
     # bf16, but ~0.9x speed and minutes of Mosaic compile per shape —
     # see ops/snake.py). TPU only; ignored where shapes don't tile.
     snake_pallas: bool = False
-    # Snake lowering: "polyphase" (pure XLA), "fold" (fused pallas kernel
-    # in the folded full-lane layout — the fast TPU path at narrow C,
-    # see ops/snake.py:snake_antialias_fold), or "pallas" (legacy NWC
-    # kernel). snake_pallas=True overrides to "pallas" for back-compat.
-    # Non-polyphase impls fall back to polyphase off-TPU.
-    snake_impl: str = "polyphase"
+    # Snake lowering: "auto" picks the measured winner per dtype on TPU
+    # (fold for bf16 — 1.20x the f32 generator, vs 1.10x for XLA bf16;
+    # polyphase for f32, where XLA's cross-op fusion beats the pallas
+    # kernel 1.06x — scripts/perf_bigvgan.py 2026-08-19). "polyphase",
+    # "fold", "pallas" force a lowering (see ops/snake.py). snake_pallas=
+    # True overrides to "pallas" for back-compat. Non-polyphase impls
+    # fall back to polyphase off-TPU.
+    snake_impl: str = "auto"
     # Kaiser tap count for the snake's 2x anti-alias filters (k % 4 == 0).
     # 12 matches the reference (bigvgan/alias_free_torch/resample.py:14);
     # 8 trades stop-band attenuation for fewer VPU FLOPs — measured

@@ -459,9 +459,16 @@ def snake_antialias(
     """2× anti-aliased snake. x: (B, T, C); alpha/inv_beta broadcastable
     (C,). impl selects the lowering (falls back to polyphase off-TPU or
     on unsupported shapes):
+      - "auto" — fold for bf16 on TPU, polyphase otherwise. Measured on
+        v5e (scripts/perf_bigvgan.py, 2026-08-19, whole generator,
+        interleaved medians): fold_bf16 1259 ms vs XLA bf16 1380 vs f32
+        1513 (1.20x, the fastest variant) but fold_f32 1605 (0.94x —
+        XLA fuses the f32 polyphase chain into neighboring convs; a
+        pallas call is a fusion barrier, and in f32 that loses more
+        than the full-lane layout gains).
       - "polyphase" — pure-XLA NWC depthwise convs (works everywhere).
       - "fold" — fused pallas kernel in the folded full-lane layout
-        (see snake_antialias_fold): the fast TPU path at narrow C.
+        (see snake_antialias_fold): one HBM round trip regardless of C.
       - "pallas" — fused NWC-layout pallas kernel (bit-accurate where
         XLA default-precision convs round inputs to bf16, but ~0.9x and
         minutes of Mosaic compile; `use_pallas=True` is the legacy alias).
@@ -470,6 +477,8 @@ def snake_antialias(
     if impl is None:
         impl = "pallas" if use_pallas else "polyphase"
     on_tpu = jax.default_backend() == "tpu"
+    if impl == "auto":
+        impl = "fold" if x.dtype == jnp.bfloat16 else "polyphase"
     if impl == "fold" and on_tpu and _fold_ok(x.shape[1], x.shape[2]):
         alpha = jnp.broadcast_to(jnp.asarray(alpha, x.dtype), (x.shape[-1],))
         inv_beta = jnp.broadcast_to(

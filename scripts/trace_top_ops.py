@@ -57,6 +57,21 @@ def device_pids(events):
     }, names
 
 
+def leaf_tids(events, dev_pids):
+    """(pid, tid) pairs on 'XLA Ops' threads — the leaf op track.
+    Module/step tracks nest whole dispatches and double-count."""
+    keep = set()
+    have_names = False
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            have_names = True
+            if e.get("pid") in dev_pids and "XLA Ops" in (
+                e.get("args", {}).get("name", "")
+            ):
+                keep.add((e["pid"], e["tid"]))
+    return keep if have_names and keep else None
+
+
 BUCKETS = (
     ("convolution", "conv"),
     ("conv", "conv"),
@@ -101,12 +116,18 @@ def main():
             print(f"  pid {pid}: {n}")
         dev_pids = set(names)
 
+    leaves = leaf_tids(events, dev_pids)
+    if leaves:
+        print(f"(restricting to {len(leaves)} 'XLA Ops' leaf tracks)")
+
     per_op = defaultdict(float)
     per_bucket = defaultdict(float)
     count = defaultdict(int)
     t_total = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        if leaves and (e.get("pid"), e.get("tid")) not in leaves:
             continue
         dur = float(e.get("dur", 0.0))  # microseconds
         name = e.get("name", "?")

@@ -209,3 +209,17 @@ def test_fold_ok_predicate():
     assert not sk._fold_ok(4096, 7)      # no lane-filling fold factor
     assert sk._fold_factor(24) == 16 and sk._fold_factor(96) == 4
     assert sk._fold_factor(768) == 1
+
+
+def test_auto_impl_dispatch():
+    """impl='auto' = fold for bf16 on TPU, polyphase otherwise; off-TPU
+    both resolve to polyphase (exact equality with the direct call)."""
+    x, al, ib = _inputs(1, 4096, 24, seed=12)
+    for dt in (jnp.float32, jnp.bfloat16):
+        xd = x.astype(dt)
+        got = sk.snake_antialias(xd, al.astype(dt), ib.astype(dt),
+                                 impl="auto")
+        ref = sk.snake_antialias_polyphase(xd, al.astype(dt),
+                                           ib.astype(dt))
+        np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                      np.asarray(ref, np.float32))
