@@ -148,23 +148,28 @@ def main():
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
 
-    # warmup: compile the steady-state bucket(s) at max_batch
-    print("warmup (bucket compiles) ...", flush=True)
+    # warmup: compile EVERY pow2 batch bucket the collector can form —
+    # the first TPU run showed a single missed bucket costs a ~70-150 s
+    # mid-flight compile that destroys the percentile story (p95 146 s).
+    # One fixed sentence keeps the x/y buckets constant so the compiled-
+    # program set is exactly these five.
+    print("warmup (pow2 batch-bucket compiles) ...", flush=True)
     t0 = time.time()
-    st, _, _ = post("/tts", {"texts": [SENTENCES[0]] * max_batch})
-    assert st == 200, st
-    # second round covers the other sentences' buckets if any
-    st, _, _ = post("/tts", {"texts": SENTENCES})
-    assert st == 200, st
+    bs = 1
+    while bs <= max_batch:
+        st, _, w = post("/tts", {"texts": [SENTENCES[0]] * bs})
+        assert st == 200, st
+        print(f"  batch {bs}: {w:.0f}s", flush=True)
+        bs *= 2
     print(f"warmup done in {time.time()-t0:.0f}s", flush=True)
 
     # --- load phase: n_clients concurrent, per_client sequential each ---
     lat, audio_s, errs = [], [], []
 
     def client(i):
-        rng = np.random.default_rng(i)
         for j in range(per_client):
-            text = SENTENCES[int(rng.integers(len(SENTENCES)))]
+            # fixed sentence: measures steady-state batching, not compiles
+            text = SENTENCES[0]
             st, body, wall = post("/tts", {"texts": [text]})
             if st != 200:
                 errs.append(st)
@@ -191,7 +196,7 @@ def main():
     codes = []
 
     def hammer(i):
-        st, body, _ = post("/tts", {"texts": [SENTENCES[i % len(SENTENCES)]]})
+        st, body, _ = post("/tts", {"texts": [SENTENCES[0]]})
         codes.append(st)
 
     hthreads = [threading.Thread(target=hammer, args=(i,))
