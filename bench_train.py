@@ -59,6 +59,10 @@ def main():
                    help="denoiser compute dtype (decoder.compute_dtype)")
     p.add_argument("--attention", default=None,
                    help="DiT attention override (e.g. flash_bf16)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of a few timed "
+                        "steps into DIR (analyze with "
+                        "scripts/trace_top_ops.py)")
     args = p.parse_args()
 
     cfg = Config(PRESET)
@@ -93,6 +97,13 @@ def main():
         state, metrics = step(state, batch)
     total = float(metrics["total_loss"])  # sync once at the end
     elapsed = time.perf_counter() - t0
+
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+        for _ in range(3):
+            state, metrics = step(state, batch)
+        float(metrics["total_loss"])
+        jax.profiler.stop_trace()
 
     steps_per_sec = args.steps / elapsed
 
