@@ -94,6 +94,35 @@ VARIANTS = {
 }
 
 
+# --- in-context A/B: reproduce the e2e layout problem -----------------
+# In the full sampler graph the SAME grouped conv costs ~9.7 ms/step
+# (trace receipt) vs 4.5 ms isolated: XLA assigns the fusion a 5-D
+# split layout bf16[16,20,192,8,32]{4,0,3,2,1} (32 lanes minor) driven
+# by its producer/consumer. These variants embed the conv between a
+# patchify-like producer and the gelu→mean→add→tokens consumer chain
+# (models/dit.py:444-451) and test whether forcing a layout boundary
+# recovers the isolated speed.
+
+MID_H, MID_W, MID_C, D = 40, 384, 128, 256  # U-Net mid feature → DiT
+
+
+def _context(x_mid, wp_, w_, proj, barrier: bool):
+    # patchify: conv 3x3 stride 2 → (B, 20, 192, 256), as PatchEmbed2D
+    h = jax.lax.conv_general_dilated(
+        x_mid, wp_, (2, 2), [(1, 1), (1, 1)], dimension_numbers=DN)
+    if barrier:
+        h = jax.lax.optimization_barrier(h)
+    pos = jax.lax.conv_general_dilated(
+        h, w_, (1, 1), PAD, dimension_numbers=DN, feature_group_count=G)
+    if barrier:
+        pos = jax.lax.optimization_barrier(pos)
+    pos = jax.nn.gelu(pos, approximate=False)
+    pos = jnp.mean(pos, axis=1, keepdims=True)
+    h = h + pos
+    tokens = h.reshape(h.shape[0], -1, D)
+    return tokens @ proj  # downstream consumer
+
+
 def main():
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     print(f"backend={jax.default_backend()}")
@@ -128,6 +157,37 @@ def main():
         print(f"{n:10s} {net*1e3:7.2f} ms  {tfs:6.1f} TF/s "
               f"({tfs/197*100:4.1f}% peak, {tfs/(197*0.25)*100:5.1f}% of "
               f"32-lane cap)", flush=True)
+
+    # --- in-context layout A/B ---
+    x_mid = jnp.asarray(
+        rng.standard_normal((B, MID_H, MID_W, MID_C)) * 0.3, jnp.bfloat16)
+    wp_ = jnp.asarray(
+        rng.standard_normal((3, 3, MID_C, D)) * 0.05, jnp.bfloat16)
+    proj = jnp.asarray(
+        rng.standard_normal((D, D)) * 0.05, jnp.bfloat16)
+    ctx = {
+        "ctx_plain": jax.jit(lambda a, b, c, d: _context(a, b, c, d, False)),
+        "ctx_barrier": jax.jit(lambda a, b, c, d: _context(a, b, c, d, True)),
+    }
+    outs2 = {}
+    for n, f in ctx.items():
+        t0 = time.time()
+        outs2[n] = np.asarray(
+            f(x_mid, wp_, w, proj), np.float32)
+        print(f"compiled {n} in {time.time()-t0:.0f}s", flush=True)
+    print("max|ctx_barrier - ctx_plain| =",
+          f"{np.abs(outs2['ctx_barrier'] - outs2['ctx_plain']).max():.3e}")
+    acc2 = {n: [] for n in ctx}
+    for r in range(rounds):
+        for n, f in ctx.items():
+            t0 = time.perf_counter()
+            float(jnp.sum(f(x_mid, wp_, w, proj)))
+            acc2[n].append(time.perf_counter() - t0)
+    print("\n=== in-context (patchify -> posconv -> gelu/mean/add -> "
+          "tokens @ proj) ===")
+    for n, ts in acc2.items():
+        net = max(float(np.median(ts)) - DISPATCH_S, 1e-9)
+        print(f"{n:12s} {net*1e3:7.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
