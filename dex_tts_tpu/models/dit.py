@@ -49,6 +49,14 @@ class DiTConfig:
     mlp_ratio: float = 2.0
     conv_pos: int = 16
     conv_pos_groups: int = 8
+    # Exact-math lowering of the grouped time-pos conv. Isolated, the
+    # grouped conv runs at 3-4.5 ms at bench shapes, but the trace shows
+    # the in-graph fusion at ~9.7 ms/step (XLA assigns it a 5-D split
+    # layout with 32 lanes minor). "grouped" = nn.Conv's lowering;
+    # "barrier" = same + optimization_barrier around the conv (forces a
+    # layout boundary); "vmap" = vmap over groups of a dense CG->CG conv
+    # (fastest isolated lowering). A/B: scripts/perf_posconv_e2e.py.
+    pos_conv_impl: str = "grouped"
     mask_type: str = "random"
     grid_h: int = 20  # input freq bins // stride
     # lightweight DiT decoder after token unmasking (reference:
@@ -127,6 +135,62 @@ class PatchEmbed2D(nn.Module):
         )(x)
 
 
+class GroupedPosConv2D(nn.Module):
+    """Grouped k×k conv with a selectable exact-math lowering.
+
+    The parameter tree matches ``nn.Conv`` exactly ({kernel: (K, K, C/G,
+    C), bias: (C,)}, lecun-normal/zeros init) so checkpoints are
+    interchangeable across ``impl`` values — the knob only changes how
+    XLA lowers the same math (see DiTConfig.pos_conv_impl).
+    """
+
+    features: int
+    kernel: int
+    groups: int
+    padding: tuple  # ((lo, hi), (lo, hi))
+    dtype: jnp.dtype
+    impl: str = "grouped"
+
+    @nn.compact
+    def __call__(self, x):  # (B, H', W', C)
+        k, g, c = self.kernel, self.groups, self.features
+        cg = c // g
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, k, cg, c)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        dt = self.dtype
+        x = x.astype(dt)
+        w = kernel.astype(dt)
+        dn = ("NHWC", "HWIO", "NHWC")
+        if self.impl == "vmap":
+            b_, h_, w_in, _ = x.shape
+            xg = x.reshape(b_, h_, w_in, g, cg)
+            wg = w.reshape(k, k, cg, g, cg)
+
+            def one(xs, ws):
+                return jax.lax.conv_general_dilated(
+                    xs, ws, (1, 1), self.padding, dimension_numbers=dn
+                )
+
+            out = jax.vmap(one, in_axes=(3, 3), out_axes=3)(xg, wg)
+            out = out.reshape(b_, h_, w_in, c)
+        else:
+            if self.impl == "barrier":
+                x = jax.lax.optimization_barrier(x)
+            out = jax.lax.conv_general_dilated(
+                x,
+                w,
+                (1, 1),
+                self.padding,
+                dimension_numbers=dn,
+                feature_group_count=g,
+            )
+            if self.impl == "barrier":
+                out = jax.lax.optimization_barrier(out)
+        return out + bias.astype(dt)
+
+
 class ConvTimePosEmbed(nn.Module):
     """Grouped-conv relative position over time, averaged across freq.
     reference: DEX-TTS/model/dit.py:75-90 (make_conv_pos + SamePad)."""
@@ -139,12 +203,13 @@ class ConvTimePosEmbed(nn.Module):
         # torch pads k//2 both sides then trims one trailing element per dim
         # for even k (SamePad) — same as asymmetric (k//2, k//2 - 1) padding.
         trim = 1 if k % 2 == 0 else 0
-        conv = nn.Conv(
+        conv = GroupedPosConv2D(
             features=self.cfg.hidden_size,
-            kernel_size=(k, k),
-            padding=[(k // 2, k // 2 - trim), (k // 2, k // 2 - trim)],
-            feature_group_count=self.cfg.conv_pos_groups,
+            kernel=k,
+            groups=self.cfg.conv_pos_groups,
+            padding=((k // 2, k // 2 - trim), (k // 2, k // 2 - trim)),
             dtype=self.cfg.compute_dtype,
+            impl=self.cfg.pos_conv_impl,
             name="pos_conv",
         )
         pos = nn.gelu(conv(x.astype(self.cfg.compute_dtype)), approximate=False)

@@ -397,3 +397,28 @@ def test_dit_cache_turbo_sampler_dex():
     assert not np.array_equal(d, exact)
     rel = np.linalg.norm(d - exact) / np.linalg.norm(exact)
     assert rel < 0.5, rel
+
+
+def test_pos_conv_impl_lowerings_agree():
+    """pos_conv_impl only changes the XLA lowering: one param tree (the
+    GroupedPosConv2D tree matches nn.Conv's), identical math. grouped vs
+    barrier must be bit-exact (optimization_barrier is the identity);
+    vmap regroups the conv so allow float reassociation tolerance."""
+    from dex_tts_tpu.models.dit import ConvTimePosEmbed
+
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, 4, 24, 32)), jnp.float32
+    )
+    cfgs = {
+        impl: DiTConfig(
+            hidden_size=32, conv_pos=16, conv_pos_groups=8, pos_conv_impl=impl
+        )
+        for impl in ("grouped", "barrier", "vmap")
+    }
+    v = ConvTimePosEmbed(cfgs["grouped"]).init(jax.random.PRNGKey(0), x)
+    out = {
+        impl: np.asarray(ConvTimePosEmbed(cfg).apply(v, x))
+        for impl, cfg in cfgs.items()
+    }
+    np.testing.assert_array_equal(out["grouped"], out["barrier"])
+    np.testing.assert_allclose(out["vmap"], out["grouped"], atol=2e-6)
