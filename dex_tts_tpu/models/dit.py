@@ -55,7 +55,8 @@ class DiTConfig:
     # layout with 32 lanes minor). "grouped" = nn.Conv's lowering;
     # "barrier" = same + optimization_barrier around the conv (forces a
     # layout boundary); "vmap" = vmap over groups of a dense CG->CG conv
-    # (fastest isolated lowering). A/B: scripts/perf_posconv_e2e.py.
+    # (fastest isolated lowering); "nchw" = channels-major dimension
+    # numbers (different tiling choice). A/B: scripts/perf_posconv_e2e.py.
     pos_conv_impl: str = "grouped"
     mask_type: str = "random"
     grid_h: int = 20  # input freq bins // stride
@@ -151,8 +152,14 @@ class GroupedPosConv2D(nn.Module):
     dtype: jnp.dtype
     impl: str = "grouped"
 
+    IMPLS = ("grouped", "barrier", "vmap", "nchw")
+
     @nn.compact
     def __call__(self, x):  # (B, H', W', C)
+        if self.impl not in self.IMPLS:
+            raise ValueError(
+                f"GroupedPosConv2D.impl={self.impl!r} not in {self.IMPLS}"
+            )
         k, g, c = self.kernel, self.groups, self.features
         cg = c // g
         kernel = self.param(
@@ -175,6 +182,18 @@ class GroupedPosConv2D(nn.Module):
 
             out = jax.vmap(one, in_axes=(3, 3), out_axes=3)(xg, wg)
             out = out.reshape(b_, h_, w_in, c)
+        elif self.impl == "nchw":
+            # channels-major lowering: forces XLA to pick a different
+            # conv tiling than the NHWC 5-D "32 lanes minor" split layout
+            out = jax.lax.conv_general_dilated(
+                jnp.transpose(x, (0, 3, 1, 2)),
+                jnp.transpose(w, (3, 2, 0, 1)),
+                (1, 1),
+                self.padding,
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                feature_group_count=g,
+            )
+            out = jnp.transpose(out, (0, 2, 3, 1))
         else:
             if self.impl == "barrier":
                 x = jax.lax.optimization_barrier(x)

@@ -79,6 +79,8 @@ class GeDEXTTS(nn.Module):
     # compute dtype of the denoiser hot path ("bfloat16" for serving;
     # params always float32)
     compute_dtype: str = "float32"
+    # U-Net linear-attention lowering (see unet.LinearAttention.impl)
+    linattn_impl: str = "tokenmajor"
 
     use_style: bool = False  # overridden by DeXTTS
 
@@ -127,6 +129,7 @@ class GeDEXTTS(nn.Module):
             # relayout path on v5e, so boundaries exist only at the DiT and
             # adaptor entry/exit.
             dtype=self.compute_dtype,
+            linattn_impl=self.linattn_impl,
         )
 
     # -- shared pieces ------------------------------------------------------

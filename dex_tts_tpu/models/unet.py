@@ -12,6 +12,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dex_tts_tpu.models.dit import DiT, DiTConfig
 from dex_tts_tpu.models.layers import SinusoidalPosEmb, mish
@@ -111,6 +112,15 @@ class LinearAttention(nn.Module):
     heads: int = 4
     dim_head: int = 32
     dtype: str = "float32"
+    # "tokenmajor": per-head einsums over (B, N, heads, d) intermediates.
+    # "fused": channels stay fused at heads·d end to end — the context is
+    # one (B, C, C) matmul with the cross-head blocks zeroed by a constant
+    # block-diagonal mask (exact same math: the extra products are
+    # multiplied by 0 and summing zeros is exact in fp). Kills the
+    # 32-lane-minor relayout copy XLA inserts merging (heads, d) → C
+    # before to_out (trace: ~2 ms/step in training); the 4x context-matmul
+    # FLOPs are negligible (C=128).
+    impl: str = "tokenmajor"
 
     @nn.compact
     def __call__(self, x):
@@ -122,18 +132,38 @@ class LinearAttention(nn.Module):
         q = nn.Dense(hidden, use_bias=False, dtype=dt, name="to_q")(t)
         k = nn.Dense(hidden, use_bias=False, dtype=dt, name="to_k")(t)
         v = nn.Dense(hidden, use_bias=False, dtype=dt, name="to_v")(t)
-        q = q.reshape(b, n, self.heads, self.dim_head)
-        k = k.reshape(b, n, self.heads, self.dim_head)
-        v = v.reshape(b, n, self.heads, self.dim_head)
-        kf = k.astype(jnp.float32)
-        kf = kf - jax.scipy.special.logsumexp(kf, axis=1, keepdims=True)
-        k = jnp.exp(kf).astype(x.dtype)  # softmax over tokens
-        context = jnp.einsum(
-            "bnhd,bnhe->bhde", k, v, preferred_element_type=jnp.float32
-        ).astype(x.dtype)
-        out = jnp.einsum(
-            "bhde,bnhd->bnhe", context, q, preferred_element_type=jnp.float32
-        ).astype(x.dtype)
+        if self.impl == "fused":
+            # per-(head, channel) token softmax == per-channel on the
+            # fused layout (each channel belongs to exactly one head)
+            kf = k.astype(jnp.float32)
+            kf = kf - jax.scipy.special.logsumexp(kf, axis=1, keepdims=True)
+            k = jnp.exp(kf).astype(x.dtype)
+            blocks = np.kron(
+                np.eye(self.heads, dtype=np.float32),
+                np.ones((self.dim_head, self.dim_head), np.float32),
+            )
+            context = jnp.einsum(
+                "bnd,bne->bde", k, v, preferred_element_type=jnp.float32
+            )
+            context = (context * blocks).astype(x.dtype)
+            out = jnp.einsum(
+                "bde,bnd->bne", context, q,
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        else:
+            q = q.reshape(b, n, self.heads, self.dim_head)
+            k = k.reshape(b, n, self.heads, self.dim_head)
+            v = v.reshape(b, n, self.heads, self.dim_head)
+            kf = k.astype(jnp.float32)
+            kf = kf - jax.scipy.special.logsumexp(kf, axis=1, keepdims=True)
+            k = jnp.exp(kf).astype(x.dtype)  # softmax over tokens
+            context = jnp.einsum(
+                "bnhd,bnhe->bhde", k, v, preferred_element_type=jnp.float32
+            ).astype(x.dtype)
+            out = jnp.einsum(
+                "bhde,bnhd->bnhe", context, q,
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
         out = out.reshape(b, h, w, hidden)
         return nn.Conv(c, (1, 1), dtype=dt, name="to_out")(out)
 
@@ -143,13 +173,14 @@ class RezeroAttention(nn.Module):
     reference: DEX-TTS/model/diffusion.py:34-41,98-105."""
 
     dtype: str = "float32"
+    impl: str = "tokenmajor"
 
     @nn.compact
     def __call__(self, x):
         g = self.param("g", nn.initializers.zeros, (1,))
-        return x + LinearAttention(dtype=self.dtype, name="fn")(x) * g.astype(
-            x.dtype
-        )
+        return x + LinearAttention(
+            dtype=self.dtype, impl=self.impl, name="fn"
+        )(x) * g.astype(x.dtype)
 
 
 class Downsample(nn.Module):
@@ -208,6 +239,7 @@ class DiffusionDenoiser(nn.Module):
     n_spks: int = 1
     spk_emb_dim: int = 64
     dtype: str = "float32"  # compute dtype for convs/attention (params f32)
+    linattn_impl: str = "tokenmajor"  # see LinearAttention.impl
 
     @nn.compact
     def __call__(
@@ -263,7 +295,7 @@ class DiffusionDenoiser(nn.Module):
                             name=f"down_{i}_res1")(h, m, t_unet)
             h = ResnetBlock(dim_out, self.groups, self.dtype,
                             name=f"down_{i}_res2")(h, m, t_unet)
-            h = RezeroAttention(self.dtype, name=f"down_{i}_attn")(h)
+            h = RezeroAttention(self.dtype, self.linattn_impl, name=f"down_{i}_attn")(h)
             hiddens.append(h)
             if not is_last:
                 h = Downsample(dim_out, self.dtype,
@@ -310,7 +342,7 @@ class DiffusionDenoiser(nn.Module):
                             name=f"up_{j}_res1")(h, m, t_unet)
             h = ResnetBlock(dim_in, self.groups, self.dtype,
                             name=f"up_{j}_res2")(h, m, t_unet)
-            h = RezeroAttention(self.dtype, name=f"up_{j}_attn")(h)
+            h = RezeroAttention(self.dtype, self.linattn_impl, name=f"up_{j}_attn")(h)
             h = Upsample(dim_in, self.dtype, name=f"up_{j}_upsample")(h * m)
 
         # the first (unconsumed) skip pairs with the final blocks

@@ -116,7 +116,9 @@ class SnakeActivation1d(nn.Module):
     logscale: bool = True
     use_pallas: bool = False
     taps: int = 12
-    impl: str = "polyphase"
+    # None lets snake_antialias resolve the legacy use_pallas flag;
+    # the generator always passes an explicit impl (snake_impl knob).
+    impl: str | None = None
 
     @nn.compact
     def __call__(self, x):  # (B, T, C)
@@ -150,7 +152,7 @@ class AMPBlock1(nn.Module):
     dtype: str = "float32"
     use_pallas: bool = False
     taps: int = 12
-    impl: str = "polyphase"
+    impl: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -197,7 +199,7 @@ class AMPBlock2(nn.Module):
     dtype: str = "float32"
     use_pallas: bool = False
     taps: int = 12
-    impl: str = "polyphase"
+    impl: str | None = None
 
     @nn.compact
     def __call__(self, x):

@@ -437,14 +437,17 @@ def _snake_bwd(kernel_size, res, g):
 _snake_pallas_op.defvjp(_snake_fwd, _snake_bwd)
 
 
-def _fold_ok(t: int, c: int) -> bool:
+def _fold_ok(t: int, c: int, kernel_size: int = 12) -> bool:
     f = _fold_factor(c)
+    k = kernel_size
+    # edge fixup needs n_edge = max(k + f, 16) clean samples per side plus
+    # 2k of polyphase context (see snake_antialias_fold's edge slices)
     return (
         f is not None
         and t % f == 0
         and (t // f) % 8 == 0
         and t // f >= 8
-        and t >= 2 * (max(12 + f, 16) + 24)  # room for the edge fixup
+        and t >= 2 * (max(k + f, 16) + 2 * k)
     )
 
 
@@ -473,13 +476,16 @@ def snake_antialias(
         XLA default-precision convs round inputs to bf16, but ~0.9x and
         minutes of Mosaic compile; `use_pallas=True` is the legacy alias).
     kernel_size sets both Kaiser filters' tap count (k % 4 == 0; 12 is
-    the reference value, 8 trades ~... dB stop-band for VPU FLOPs)."""
+    the reference value, 8 trades ~7.9 dB whole-generator SNR for ~1%
+    RTF — measured in scripts/perf_bigvgan.py, not worth it)."""
     if impl is None:
         impl = "pallas" if use_pallas else "polyphase"
     on_tpu = jax.default_backend() == "tpu"
     if impl == "auto":
         impl = "fold" if x.dtype == jnp.bfloat16 else "polyphase"
-    if impl == "fold" and on_tpu and _fold_ok(x.shape[1], x.shape[2]):
+    if impl == "fold" and on_tpu and _fold_ok(
+        x.shape[1], x.shape[2], kernel_size
+    ):
         alpha = jnp.broadcast_to(jnp.asarray(alpha, x.dtype), (x.shape[-1],))
         inv_beta = jnp.broadcast_to(
             jnp.asarray(inv_beta, x.dtype), (x.shape[-1],)

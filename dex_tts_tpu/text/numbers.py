@@ -29,7 +29,8 @@ _TENS = [
 ]
 _SCALES = [
     "", "thousand", "million", "billion", "trillion", "quadrillion",
-    "quintillion",
+    "quintillion", "sextillion", "septillion", "octillion", "nonillion",
+    "decillion",
 ]
 
 _ORDINAL_IRREGULAR = {
@@ -70,6 +71,8 @@ def number_to_words(n: int, andword: str = "") -> str:
         return "zero"
     if n < 0:
         return "minus " + number_to_words(-n, andword)
+    if n >= 1000 ** len(_SCALES):  # past decillion: read digit-by-digit
+        return " ".join(_ONES[int(d)] for d in str(n))
     groups = []
     scale = 0
     while n > 0:

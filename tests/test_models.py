@@ -413,7 +413,7 @@ def test_pos_conv_impl_lowerings_agree():
         impl: DiTConfig(
             hidden_size=32, conv_pos=16, conv_pos_groups=8, pos_conv_impl=impl
         )
-        for impl in ("grouped", "barrier", "vmap")
+        for impl in ("grouped", "barrier", "vmap", "nchw")
     }
     v = ConvTimePosEmbed(cfgs["grouped"]).init(jax.random.PRNGKey(0), x)
     out = {
@@ -422,3 +422,30 @@ def test_pos_conv_impl_lowerings_agree():
     }
     np.testing.assert_array_equal(out["grouped"], out["barrier"])
     np.testing.assert_allclose(out["vmap"], out["grouped"], atol=2e-6)
+    np.testing.assert_allclose(out["nchw"], out["grouped"], atol=2e-6)
+
+    with pytest.raises(ValueError, match="GroupedPosConv2D.impl"):
+        ConvTimePosEmbed(
+            DiTConfig(hidden_size=32, pos_conv_impl="typo")
+        ).init(jax.random.PRNGKey(0), x)
+
+
+def test_linattn_fused_impl_matches_tokenmajor():
+    """LinearAttention impl="fused" is an exact-math relowering: the
+    cross-head context products are multiplied by a 0/1 block mask and
+    fp summation with zeros is exact, so outputs must agree to float
+    reassociation tolerance (bit-exactness isn't guaranteed: XLA may
+    tile the two contraction shapes differently)."""
+    from dex_tts_tpu.models.unet import LinearAttention
+
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((2, 8, 24, 16)), jnp.float32
+    )
+    base = LinearAttention(heads=4, dim_head=8)
+    v = base.init(jax.random.PRNGKey(0), x)
+    out_tm = np.asarray(base.apply(v, x))
+    out_fu = np.asarray(
+        LinearAttention(heads=4, dim_head=8, impl="fused").apply(v, x)
+    )
+    assert not np.allclose(out_tm, 0)
+    np.testing.assert_allclose(out_fu, out_tm, atol=1e-5, rtol=1e-5)

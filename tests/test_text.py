@@ -157,3 +157,30 @@ def test_real_cmu_dictionary_golden():
     }
     for text, want in goldens.items():
         assert text_to_sequence(text, dictionary=d) == want, text
+
+
+def test_transliteration_cyrillic_greek():
+    """unidecode-table transliteration for non-Latin scripts (the
+    reference folds via unidecode, DEX-TTS/text/cleaners.py:4,50-51;
+    unidecode is absent from this image so the x003/x004 tables are
+    reproduced in cleaners.py)."""
+    from dex_tts_tpu.text.cleaners import convert_to_ascii
+
+    assert convert_to_ascii("Москва") == "Moskva"
+    assert convert_to_ascii("Хрущёв") == "Khrushchev"
+    assert convert_to_ascii("Київ") == "Kiyiv"
+    assert convert_to_ascii("щи") == "shchi"
+    assert convert_to_ascii("αβγ") == "abg"
+    assert convert_to_ascii("Θεσσαλονίκη") == "Thessalonike"
+    assert convert_to_ascii("ψυχή") == "psukhe"
+    # Latin diacritics still fold via NFKD
+    assert convert_to_ascii("naïve façade") == "naive facade"
+    assert convert_to_ascii("Łódź") == "Lodz"
+
+
+def test_huge_numbers_do_not_crash():
+    assert number_to_words(10**21) == "one sextillion"
+    assert number_to_words(10**33) == "one decillion"
+    # past decillion: digit-by-digit fallback, never an IndexError
+    assert number_to_words(10**36).startswith("one zero zero")
+    assert "thousand" in normalize_numbers("123456789012345678901 items")
