@@ -69,6 +69,14 @@ def main():
                         "picks the measured winner per dtype (fold for "
                         "bf16, polyphase for f32), 'fold' forces the "
                         "fused full-lane TPU kernel")
+    p.add_argument("--vocoder_dtype", default="auto",
+                   choices=["auto", "float32", "bfloat16"],
+                   help="vocoder compute dtype; 'auto' picks the measured "
+                        "winner per generator: bfloat16 for BigVGAN "
+                        "(fold-snake bf16 is the fastest variant, 1259 vs "
+                        "1511 ms f32 — kernel exactness receipt: "
+                        "scripts/validate_fold.py f64 oracle), float32 for "
+                        "HiFi-GAN (adds only ~0.0011 RTF)")
     args = p.parse_args()
     if args.dit_cache > 1 and args.steps % args.dit_cache:
         p.error(
@@ -90,12 +98,20 @@ def main():
     # GeDEX takes no reference-speech conditioning
     style = _style_inputs(b, 80, t_ref) if dex else {}
 
+    if args.vocoder_dtype == "auto":
+        voc_dtype = "bfloat16" if args.vocoder == "bigvgan" else "float32"
+    else:
+        voc_dtype = args.vocoder_dtype
     if args.vocoder == "bigvgan":
         vocoder = BigVGANGenerator(
-            BigVGANConfig(num_mels=80, snake_impl=args.snake_impl)
+            BigVGANConfig(
+                num_mels=80, snake_impl=args.snake_impl, dtype=voc_dtype
+            )
         )
     else:
-        vocoder = HiFiGANGenerator(HiFiGANConfig(num_mels=80))
+        vocoder = HiFiGANGenerator(
+            HiFiGANConfig(num_mels=80, dtype=voc_dtype)
+        )
 
     @jax.jit
     def _init():

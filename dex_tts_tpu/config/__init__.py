@@ -37,6 +37,7 @@ def build_dit_config(cfg: Config) -> DiTConfig:
         mlp_ratio=float(d.mlp_ratio),
         conv_pos=d.get("conv_pos", 16),
         conv_pos_groups=d.get("conv_pos_groups", 8),
+        pos_conv_impl=d.get("pos_conv_impl", DiTConfig.pos_conv_impl),
         mask_type=d.get("mask_type", "random"),
         use_decoder=d.get("use_decoder", False),
         attention=d.get("attention", "einsum"),
@@ -78,6 +79,7 @@ def build_model(cfg: Config):
         # denoiser hot-path dtype; "bfloat16" is the fast serving/training
         # mode on TPU (island-free: norms keep f32 stats on tiny tensors)
         compute_dtype=dec.get("compute_dtype", "float32"),
+        linattn_impl=dec.get("linattn_impl", "tokenmajor"),
         dit=build_dit_config(cfg),
     )
     if cfg.get("model_family", "dex") == "dex":

@@ -29,14 +29,15 @@ from dex_tts_tpu.train import create_train_state, make_train_step
 from dex_tts_tpu.utils import Config
 
 
-def tiny_dex():
+def tiny_dex(dtype="float32"):
     # mirrors tests/test_models.py tiny_dex but with n_feats=80 so the
     # bench_train synthetic batch shapes apply unchanged
     dit = DiTConfig(patch_size=3, stride_size=2, hidden_size=32, depth=1,
                     num_heads=2, mlp_ratio=2.0, conv_pos=4, conv_pos_groups=2,
                     grid_h=20)
     return DeXTTS(
-        n_vocab=149, n_feats=80, enc_channels=24, enc_filter_channels=32,
+        n_vocab=149, n_feats=80, compute_dtype=dtype,
+        enc_channels=24, enc_filter_channels=32,
         enc_filter_channels_dp=16, enc_heads=2, enc_layers=2, dec_dim=8,
         dec_dim_mults=(1, 2), dit=dit, tv_c_h=12, tv_c_out=24, tv_c_out_g=24,
         tv_layers=2, tv_n_emb=16, lf0_c_h=12, lf0_c_out=24, lf0_c_out_g=24,
@@ -53,14 +54,24 @@ def main():
     p.add_argument("--max-grad", type=float, default=None)
     p.add_argument("--full", action="store_true",
                    help="full ESD model (TPU scale) instead of tiny")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="denoiser compute dtype (the recorded b128 blow-up "
+                        "was bench_train --dtype bfloat16)")
     p.add_argument("--out-size", type=int, default=None)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the axon TPU plugin ignores "
+                        "JAX_PLATFORMS=cpu; must set before first backend use)")
     args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     cfg = Config(PRESET)
     lr = args.lr if args.lr is not None else float(cfg.train.lr)
     max_grad = (args.max_grad if args.max_grad is not None
                 else float(cfg.train.get("max_grad", 5.0)))
-    model = build_model(cfg) if args.full else tiny_dex()
+    cfg.model.decoder.compute_dtype = args.dtype
+    model = build_model(cfg) if args.full else tiny_dex(args.dtype)
     out_size = args.out_size if args.out_size is not None else (
         fix_len_compatibility(int(cfg.train.fix_len
                                   * cfg.preprocess.sample_rate

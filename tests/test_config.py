@@ -19,6 +19,24 @@ def test_deep_update():
     assert d.tag == "x"
 
 
+def test_build_model_threads_lowering_knobs():
+    """pos_conv_impl / linattn_impl YAML knobs reach the model (exact-math
+    lowering A/B via config, scripts/perf_variants_e2e.py)."""
+    from dex_tts_tpu.config import build_model, load_preset
+
+    cfg = load_preset("vctk")
+    cfg.model.dit.pos_conv_impl = "vmap"
+    cfg.model.decoder.linattn_impl = "fused"
+    model = build_model(cfg)
+    assert model.dit.pos_conv_impl == "vmap"
+    assert model.linattn_impl == "fused"
+
+    # defaults unchanged when unset
+    model = build_model(load_preset("vctk"))
+    assert model.dit.pos_conv_impl == "grouped"
+    assert model.linattn_impl == "tokenmajor"
+
+
 def test_config_yaml_roundtrip(tmp_path):
     path = os.path.join(tmp_path, "c.yaml")
     with open(path, "w") as f:
