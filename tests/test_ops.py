@@ -189,7 +189,13 @@ def test_maximum_path_pallas_grid_split(monkeypatch):
 
 
 def test_mas_backend_dispatch(monkeypatch):
-    """set_mas_backend forces an implementation; auto picks scan on CPU."""
+    """set_mas_backend forces an implementation; auto picks scan on EVERY
+    backend — the pallas kernel is opt-in only. Regression lock for the
+    bench_train batch-128 dur_loss blow-up (VERDICT r3 item 2): the
+    kernel's operands corrupt silently at large batch grids on the v5e
+    remote backend (ops/mas.py module docstring point 2), so a TPU
+    default of 'pallas' must never come back without that bug being
+    re-cleared on hardware."""
     from dex_tts_tpu.ops import mas
 
     calls = []
@@ -203,10 +209,15 @@ def test_mas_backend_dispatch(monkeypatch):
     v, m = jnp.asarray(value), jnp.asarray(mask)
     mas.maximum_path(v, m)
     assert calls == ["scan"]  # CPU backend → scan
+    # ... and still scan if the backend looks like a single-device TPU
+    monkeypatch.setattr(mas.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(mas.jax, "device_count", lambda: 1)
+    mas.maximum_path(v, m)
+    assert calls == ["scan", "scan"]
     try:
         mas.set_mas_backend("scan")
         mas.maximum_path(v, m)
-        assert calls == ["scan", "scan"]
+        assert calls == ["scan", "scan", "scan"]
     finally:
         mas.set_mas_backend(None)
 
