@@ -79,7 +79,7 @@ def build_model(cfg: Config):
         # denoiser hot-path dtype; "bfloat16" is the fast serving/training
         # mode on TPU (island-free: norms keep f32 stats on tiny tensors)
         compute_dtype=dec.get("compute_dtype", "float32"),
-        linattn_impl=dec.get("linattn_impl", "tokenmajor"),
+        linattn_impl=dec.get("linattn_impl", "fused"),
         dit=build_dit_config(cfg),
     )
     if cfg.get("model_family", "dex") == "dex":

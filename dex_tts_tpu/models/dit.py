@@ -56,7 +56,13 @@ class DiTConfig:
     # "barrier" = same + optimization_barrier around the conv (forces a
     # layout boundary); "vmap" = vmap over groups of a dense CG->CG conv
     # (fastest isolated lowering); "nchw" = channels-major dimension
-    # numbers (different tiling choice). A/B: scripts/perf_posconv_e2e.py.
+    # numbers (different tiling choice).
+    # MEASURED in the real e2e graph (scripts/perf_variants_e2e.py,
+    # v5e 2026-08-19, interleaved): barrier 1.000x, vmap 1.000x,
+    # nchw 0.798x — the lowering knob does NOT move the in-graph time;
+    # the ~9.7 ms is the conv itself at its ~25% structural cap
+    # (32-out-channel groups), not a fixable layout artifact. "grouped"
+    # stays the default; the knob remains for future-backend A/Bs.
     pos_conv_impl: str = "grouped"
     mask_type: str = "random"
     grid_h: int = 20  # input freq bins // stride

@@ -80,7 +80,7 @@ class GeDEXTTS(nn.Module):
     # params always float32)
     compute_dtype: str = "float32"
     # U-Net linear-attention lowering (see unet.LinearAttention.impl)
-    linattn_impl: str = "tokenmajor"
+    linattn_impl: str = "fused"
 
     use_style: bool = False  # overridden by DeXTTS
 

@@ -113,14 +113,16 @@ class LinearAttention(nn.Module):
     dim_head: int = 32
     dtype: str = "float32"
     # "tokenmajor": per-head einsums over (B, N, heads, d) intermediates.
-    # "fused": channels stay fused at heads·d end to end — the context is
-    # one (B, C, C) matmul with the cross-head blocks zeroed by a constant
-    # block-diagonal mask (exact same math: the extra products are
-    # multiplied by 0 and summing zeros is exact in fp). Kills the
-    # 32-lane-minor relayout copy XLA inserts merging (heads, d) → C
-    # before to_out (trace: ~2 ms/step in training); the 4x context-matmul
-    # FLOPs are negligible (C=128).
-    impl: str = "tokenmajor"
+    # "fused" (default): channels stay fused at heads·d end to end — the
+    # context is one (B, C, C) matmul with the cross-head blocks zeroed by
+    # a constant block-diagonal mask (exact same math per block: the extra
+    # products are multiplied by 0 and summing zeros is exact in fp; only
+    # f32-accumulation order differs). Kills the 32-lane-minor relayout
+    # copy XLA inserts merging (heads, d) → C before to_out; the 4x
+    # context-matmul FLOPs are negligible (C=128). Measured e2e on v5e
+    # (scripts/perf_variants_e2e.py, 2026-08-19): 1.052x — text→mel
+    # 2446.6 → 2326.0 ms at batch 16 × 768 frames (RTF 0.01715 → 0.01630).
+    impl: str = "fused"
 
     @nn.compact
     def __call__(self, x):
@@ -173,7 +175,7 @@ class RezeroAttention(nn.Module):
     reference: DEX-TTS/model/diffusion.py:34-41,98-105."""
 
     dtype: str = "float32"
-    impl: str = "tokenmajor"
+    impl: str = "fused"
 
     @nn.compact
     def __call__(self, x):
@@ -239,7 +241,7 @@ class DiffusionDenoiser(nn.Module):
     n_spks: int = 1
     spk_emb_dim: int = 64
     dtype: str = "float32"  # compute dtype for convs/attention (params f32)
-    linattn_impl: str = "tokenmajor"  # see LinearAttention.impl
+    linattn_impl: str = "fused"  # see LinearAttention.impl
 
     @nn.compact
     def __call__(

@@ -31,10 +31,11 @@ def test_build_model_threads_lowering_knobs():
     assert model.dit.pos_conv_impl == "vmap"
     assert model.linattn_impl == "fused"
 
-    # defaults unchanged when unset
+    # measured defaults when unset (scripts/perf_variants_e2e.py: fused
+    # linattn 1.052x e2e; pos_conv lowerings a wash -> grouped)
     model = build_model(load_preset("vctk"))
     assert model.dit.pos_conv_impl == "grouped"
-    assert model.linattn_impl == "tokenmajor"
+    assert model.linattn_impl == "fused"
 
 
 def test_config_yaml_roundtrip(tmp_path):
