@@ -38,6 +38,7 @@ def build_dit_config(cfg: Config) -> DiTConfig:
         conv_pos=d.get("conv_pos", 16),
         conv_pos_groups=d.get("conv_pos_groups", 8),
         pos_conv_impl=d.get("pos_conv_impl", DiTConfig.pos_conv_impl),
+        pos_embed_time=d.get("pos_embed_time", DiTConfig.pos_embed_time),
         mask_type=d.get("mask_type", "random"),
         use_decoder=d.get("use_decoder", False),
         attention=d.get("attention", "einsum"),

@@ -64,6 +64,9 @@ class DiTConfig:
     # (32-out-channel groups), not a fixable layout artifact. "grouped"
     # stays the default; the knob remains for future-backend A/Bs.
     pos_conv_impl: str = "grouped"
+    # "conv2d" (reference parity) | "conv1d" (TPU-fast opt-in variant,
+    # needs training from scratch — see ConvTimePosEmbed docstring)
+    pos_embed_time: str = "conv2d"
     mask_type: str = "random"
     grid_h: int = 20  # input freq bins // stride
     # lightweight DiT decoder after token unmasking (reference:
@@ -218,13 +221,50 @@ class GroupedPosConv2D(nn.Module):
 
 class ConvTimePosEmbed(nn.Module):
     """Grouped-conv relative position over time, averaged across freq.
-    reference: DEX-TTS/model/dit.py:75-90 (make_conv_pos + SamePad)."""
+    reference: DEX-TTS/model/dit.py:75-90 (make_conv_pos + SamePad).
+
+    Two variants via DiTConfig.pos_embed_time:
+      "conv2d" (default) — the reference's k×k grouped conv over the
+        (freq, time) patch grid, GELU, then mean over freq. Bit-parity
+        with reference checkpoints, but it is the single largest op in
+        the sampler loop (~9.7 ms/step at bench shapes) and sits at its
+        ~25% structural MXU cap (32-out-channel groups) — every
+        exact-math lowering measured 1.000x or worse
+        (scripts/perf_variants_e2e.py).
+      "conv1d" — mean over freq FIRST, then a k grouped 1-D conv over
+        time, GELU. ~k× (16×) fewer FLOPs for a positional signal that
+        is broadcast over freq anyway. DIFFERENT MATH (mean∘gelu∘conv2d
+        ≠ gelu∘conv1d∘mean): an opt-in architecture variant for models
+        trained from scratch on TPU, NOT checkpoint-compatible with the
+        reference (distinct param name `pos_conv1d` so a converted
+        checkpoint fails loudly instead of silently mismatching).
+    """
 
     cfg: DiTConfig
 
+    VARIANTS = ("conv2d", "conv1d")
+
     @nn.compact
     def __call__(self, x):  # (B, H', W', D)
+        if self.cfg.pos_embed_time not in self.VARIANTS:
+            raise ValueError(
+                f"pos_embed_time={self.cfg.pos_embed_time!r} "
+                f"not in {self.VARIANTS}"
+            )
         k = self.cfg.conv_pos
+        if self.cfg.pos_embed_time == "conv1d":
+            dt = self.cfg.compute_dtype
+            trim = 1 if k % 2 == 0 else 0
+            xm = jnp.mean(x.astype(dt), axis=1)  # (B, W', D)
+            pos = nn.Conv(
+                features=self.cfg.hidden_size,
+                kernel_size=(k,),
+                padding=[(k // 2, k // 2 - trim)],
+                feature_group_count=self.cfg.conv_pos_groups,
+                dtype=dt,
+                name="pos_conv1d",
+            )(xm)
+            return nn.gelu(pos, approximate=False)[:, None, :, :]
         # torch pads k//2 both sides then trims one trailing element per dim
         # for even k (SamePad) — same as asymmetric (k//2, k//2 - 1) padding.
         trim = 1 if k % 2 == 0 else 0

@@ -44,9 +44,8 @@ def parse_spec(spec: str) -> dict:
     kw = {}
     for part in spec.split(","):
         k, v = part.split("=")
-        kw[{"pos": "pos_conv_impl", "lin": "linattn_impl"}[k.strip()]] = (
-            v.strip()
-        )
+        kw[{"pos": "pos_conv_impl", "lin": "linattn_impl",
+            "posemb": "pos_embed_time"}[k.strip()]] = v.strip()
     return kw
 
 
@@ -63,25 +62,38 @@ def main():
     )
     xl = jnp.full((b,), tx, jnp.int32)
     style = _style_inputs(b, 80, t_ref)
-    base = models[specs[0]]
 
-    @jax.jit
-    def _init():
-        return base.init(
-            {"params": jax.random.PRNGKey(0),
-             "dropout": jax.random.PRNGKey(1)},
-            jax.random.PRNGKey(2), x, xl, y_max_length=ty,
-            sampler=SamplerConfig(num_steps=2), **style,
-            method=DeXTTS.synthesize)
+    # Init per spec (cached by param-tree structure): most knobs share one
+    # tree — identical seeds give bit-identical values — but architecture
+    # variants (posemb=conv1d) own distinct params and need their own init.
+    init_cache: dict = {}
 
-    variables = _init()
-    # perturb: at init the DiT is adaLN-Zero (outputs exactly 0) — keep the
-    # graph honest
-    leaves, treedef = jax.tree.flatten(variables["params"])
-    ks = jax.random.split(jax.random.PRNGKey(9), len(leaves))
-    variables = {**variables, "params": jax.tree.unflatten(
-        treedef, [p + 0.02 * jax.random.normal(k, p.shape, p.dtype)
-                  for p, k in zip(leaves, ks)])}
+    def init_for(model):
+        struct = jax.eval_shape(
+            lambda: model.init(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)},
+                jax.random.PRNGKey(2), x, xl, y_max_length=ty,
+                sampler=SamplerConfig(num_steps=2), **style,
+                method=DeXTTS.synthesize))
+        sig = str(jax.tree.structure(struct))
+        if sig not in init_cache:
+            variables = jax.jit(lambda: model.init(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)},
+                jax.random.PRNGKey(2), x, xl, y_max_length=ty,
+                sampler=SamplerConfig(num_steps=2), **style,
+                method=DeXTTS.synthesize))()
+            # perturb: at init the DiT is adaLN-Zero (outputs exactly 0) —
+            # keep the graph honest
+            leaves, treedef = jax.tree.flatten(variables["params"])
+            ks = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+            init_cache[sig] = {**variables, "params": jax.tree.unflatten(
+                treedef,
+                [p + 0.02 * jax.random.normal(k, p.shape, p.dtype)
+                 for p, k in zip(leaves, ks)])}
+        return sig, init_cache[sig]
+
     key = jax.random.PRNGKey(4)
     cfg = SamplerConfig(num_steps=50, solver="euler")
 
@@ -94,17 +106,22 @@ def main():
         return f
 
     print(f"backend={jax.default_backend()}", flush=True)
-    fns, mels = {}, {}
+    fns, mels, variables_of, sig_of = {}, {}, {}, {}
     for spec, model in models.items():
+        sig, variables = init_for(model)
         f = make(model)
         t0 = time.time()
         mels[spec] = jax.device_get(f(variables, key))
         print(f"{spec}: first call {time.time()-t0:.1f}s", flush=True)
-        fns[spec] = f
+        fns[spec], variables_of[spec], sig_of[spec] = f, variables, sig
     ref = mels[specs[0]]
     for spec, m in mels.items():
-        print(f"max|{spec} - {specs[0]}| = {np.abs(m - ref).max():.3e}",
-              flush=True)
+        if sig_of[spec] == sig_of[specs[0]]:
+            print(f"max|{spec} - {specs[0]}| = {np.abs(m - ref).max():.3e}",
+                  flush=True)
+        else:
+            print(f"max|{spec} - {specs[0]}| = n/a (distinct architecture)",
+                  flush=True)
 
     acc = {s: [] for s in fns}
     for _ in range(rounds):
@@ -112,7 +129,7 @@ def main():
             t0 = time.perf_counter()
             # materialize a scalar: block_until_ready alone does not wait
             # for remote-tunnel completion (CLAUDE.md)
-            float(jnp.sum(f(variables, key)))
+            float(jnp.sum(f(variables_of[spec], key)))
             acc[spec].append(time.perf_counter() - t0)
     print(f"\n=== text->mel wall per batch-{b} dispatch, medians over "
           f"{rounds} interleaved rounds ===", flush=True)

@@ -441,7 +441,7 @@ def test_linattn_fused_impl_matches_tokenmajor():
     x = jnp.asarray(
         np.random.default_rng(7).standard_normal((2, 8, 24, 16)), jnp.float32
     )
-    base = LinearAttention(heads=4, dim_head=8)
+    base = LinearAttention(heads=4, dim_head=8, impl="tokenmajor")
     v = base.init(jax.random.PRNGKey(0), x)
     out_tm = np.asarray(base.apply(v, x))
     out_fu = np.asarray(
@@ -449,3 +449,35 @@ def test_linattn_fused_impl_matches_tokenmajor():
     )
     assert not np.allclose(out_tm, 0)
     np.testing.assert_allclose(out_fu, out_tm, atol=1e-5, rtol=1e-5)
+
+
+def test_pos_embed_time_conv1d_variant():
+    """pos_embed_time="conv1d" (TPU-fast opt-in, NOT checkpoint-compatible
+    with the reference's 2-D conv): broadcastable (B, 1, W, D) output like
+    the 2-D path, distinct param name so converted reference checkpoints
+    fail loudly, and typos rejected."""
+    from dex_tts_tpu.models.dit import ConvTimePosEmbed
+
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, 4, 24, 32)), jnp.float32
+    )
+    cfg1d = DiTConfig(
+        hidden_size=32, conv_pos=16, conv_pos_groups=8,
+        pos_embed_time="conv1d",
+    )
+    v1 = ConvTimePosEmbed(cfg1d).init(jax.random.PRNGKey(0), x)
+    out = np.asarray(ConvTimePosEmbed(cfg1d).apply(v1, x))
+    assert out.shape == (2, 1, 24, 32)
+    assert np.isfinite(out).all() and not np.allclose(out, 0)
+    # distinct param: a 2-D checkpoint cannot silently load into conv1d
+    assert "pos_conv1d" in v1["params"]
+    cfg2d = DiTConfig(hidden_size=32, conv_pos=16, conv_pos_groups=8)
+    v2 = ConvTimePosEmbed(cfg2d).init(jax.random.PRNGKey(0), x)
+    assert "pos_conv" in v2["params"] and "pos_conv1d" not in v2["params"]
+    # 1-D kernel is (k, C/G, C); 2-D is (k, k, C/G, C)
+    assert v1["params"]["pos_conv1d"]["kernel"].ndim == 3
+
+    with pytest.raises(ValueError, match="pos_embed_time"):
+        ConvTimePosEmbed(
+            DiTConfig(hidden_size=32, pos_embed_time="typo")
+        ).init(jax.random.PRNGKey(0), x)
