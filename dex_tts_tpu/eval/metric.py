@@ -130,18 +130,73 @@ def cer(ref: str, hyp: str) -> float:
 
 class ASRScorer:
     """wav2vec2-based transcription (optional backend).
-    reference: DEX-TTS/src/metric.py:17-45 (wav2vec2-large-960h-lv60-self)."""
+    reference: DEX-TTS/src/metric.py:17-45 (wav2vec2-large-960h-lv60-self).
+
+    `model_name="random-init"` builds the same wav2vec2 CTC architecture
+    and processor entirely locally (no pretrained download): the REAL
+    transformers inference path executes, but with random weights, so
+    transcripts — and therefore CER/WER — are meaningless. It exists to
+    validate the eval plumbing end-to-end in offline images (see
+    tests/test_eval_backends.py); never report its scores."""
 
     def __init__(self, model_name: str = "facebook/wav2vec2-large-960h-lv60-self"):
         try:
             import torch  # noqa: F401
-            from transformers import Wav2Vec2ForCTC, Wav2Vec2Processor
 
-            self.processor = Wav2Vec2Processor.from_pretrained(model_name)
-            self.model = Wav2Vec2ForCTC.from_pretrained(model_name).eval()
+            if model_name == "random-init":
+                self._init_random()
+            else:
+                from transformers import Wav2Vec2ForCTC, Wav2Vec2Processor
+
+                self.processor = Wav2Vec2Processor.from_pretrained(model_name)
+                self.model = Wav2Vec2ForCTC.from_pretrained(model_name).eval()
             self.available = True
         except Exception:  # pragma: no cover - offline image
             self.available = False
+
+    def _init_random(self):
+        """Local, download-free construction of the wav2vec2 CTC stack:
+        the 32-token target vocab (chars + word delimiter |) matching the
+        960h English checkpoints, the standard 16 kHz feature extractor,
+        and a small random-init Wav2Vec2ForCTC."""
+        import json
+        import tempfile
+
+        import torch
+        from transformers import (
+            Wav2Vec2Config,
+            Wav2Vec2CTCTokenizer,
+            Wav2Vec2FeatureExtractor,
+            Wav2Vec2ForCTC,
+            Wav2Vec2Processor,
+        )
+
+        vocab = {"<pad>": 0, "<s>": 1, "</s>": 2, "<unk>": 3, "|": 4}
+        for ch in "ETAONIHSRDLUMWCFGYPBVK'XJQZ":
+            vocab[ch] = len(vocab)
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".json", delete=False
+        ) as f:
+            json.dump(vocab, f)
+            vocab_file = f.name
+        tokenizer = Wav2Vec2CTCTokenizer(
+            vocab_file, unk_token="<unk>", pad_token="<pad>",
+            word_delimiter_token="|",
+        )
+        extractor = Wav2Vec2FeatureExtractor(
+            feature_size=1, sampling_rate=16000, padding_value=0.0,
+            do_normalize=True, return_attention_mask=False,
+        )
+        self.processor = Wav2Vec2Processor(
+            feature_extractor=extractor, tokenizer=tokenizer
+        )
+        torch.manual_seed(0)
+        cfg = Wav2Vec2Config(
+            vocab_size=len(vocab), hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=128,
+            conv_dim=(32, 32, 32, 32, 32, 32, 32),
+        )
+        self.model = Wav2Vec2ForCTC(cfg).eval()
 
     def transcribe(self, wav: np.ndarray, sample_rate: int = 22050) -> str | None:
         if not self.available:
