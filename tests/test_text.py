@@ -71,6 +71,43 @@ def test_normalize_numbers():
     assert normalize_numbers("3.14") == "three point fourteen"
 
 
+def test_normalize_numbers_inflect_edge_cases():
+    """Goldens for the inflect-divergence space VERDICT r3 §7 flagged
+    (large ordinals, 'point' decimals, year ranges, cents-only currency).
+    Expected strings are inflect's outputs for the reference pipeline
+    (DEX-TTS/text/numbers.py:36-72; inflect itself is absent from this
+    image, so the expectations are hand-derived from its documented
+    behavior: default andword='and' + group commas on the ordinal path,
+    andword='' on the cardinal path, group=2/zero='oh' on years)."""
+    # currency: cents-only, comma-grouped dollars
+    assert normalize_numbers("$0.99") == "ninety-nine cents"
+    assert normalize_numbers("$1,000") == "one thousand dollars"
+    # ordinals keep inflect's default 'and' + scale commas
+    assert normalize_numbers("the 101st") == "the one hundred and first"
+    assert normalize_numbers("the 21st") == "the twenty-first"
+    assert normalize_numbers("the 12th") == "the twelfth"
+    assert normalize_numbers("the 20th") == "the twentieth"
+    assert normalize_numbers("the 112th") == "the one hundred and twelfth"
+    assert normalize_numbers("the 100th") == "the one hundredth"
+    assert normalize_numbers("the 1000000th") == "the one millionth"
+    assert normalize_numbers("the 1,234th") == (
+        "the one thousand, two hundred and thirty-fourth"
+    )
+    # reference quirk preserved: the fraction part is read as ONE number
+    # (inflect sees '14159' after the ' point ' substitution)
+    assert normalize_numbers("3.14159") == (
+        "three point fourteen thousand, one hundred fifty-nine"
+    )
+    # year ranges: two-digit groups, 'oh' padding, whole hundreds
+    assert normalize_numbers("in 1066") == "in ten sixty-six"
+    assert normalize_numbers("in 1905") == "in nineteen oh five"
+    assert normalize_numbers("in 1900") == "in nineteen hundred"
+    assert normalize_numbers("in 2010") == "in twenty ten"
+    assert normalize_numbers("in 2009") == "in two thousand nine"
+    # pounds ride the cardinal path (whole-hundreds year form)
+    assert normalize_numbers("£2,500") == "twenty-five hundred pounds"
+
+
 def test_english_cleaners():
     assert english_cleaners("Dr.  Smith   lives at   No 5") == (
         "doctor smith lives at no five"
