@@ -151,17 +151,23 @@ def main():
     # warmup: compile EVERY pow2 batch bucket the collector can form —
     # the first TPU run showed a single missed bucket costs a ~70-150 s
     # mid-flight compile that destroys the percentile story (p95 146 s).
-    # One fixed sentence keeps the x/y buckets constant so the compiled-
+    # Warm through the Synthesizer directly, NOT over HTTP: when the
+    # remote compile service degrades (~200 s+ per graph, CLAUDE.md) an
+    # HTTP warmup exceeds any sane client timeout and 599s out. One
+    # fixed sentence keeps the x/y buckets constant so the compiled-
     # program set is exactly these five.
     print("warmup (pow2 batch-bucket compiles) ...", flush=True)
     t0 = time.time()
     bs = 1
     while bs <= max_batch:
-        st, _, w = post("/tts", {"texts": [SENTENCES[0]] * bs})
-        assert st == 200, st
-        print(f"  batch {bs}: {w:.0f}s", flush=True)
+        tb = time.time()
+        infer([SENTENCES[0]] * bs)
+        print(f"  batch {bs}: {time.time()-tb:.0f}s", flush=True)
         bs *= 2
     print(f"warmup done in {time.time()-t0:.0f}s", flush=True)
+    # one HTTP round-trip to confirm the server path itself is live
+    st, _, _ = post("/tts", {"texts": [SENTENCES[0]]}, timeout=600.0)
+    assert st == 200, st
 
     # --- load phase: n_clients concurrent, per_client sequential each ---
     lat, audio_s, errs = [], [], []
