@@ -295,9 +295,12 @@ def run_objective_eval(
     spk_scorer: SpeakerScorer | None = None,
     dit_cache_interval: int = 1,
     solver: str = "euler",
+    spk_encoder: str | None = None,
 ):
     """asr/spk_scorer are injectable so tests can exercise the scoring
-    wiring without the optional pretrained backends.
+    wiring without the optional pretrained backends. spk_encoder is a
+    path to resemblyzer's pretrained.pt for the built-in GE2E speaker
+    backend (eval/speaker.py) when the package itself is absent.
 
     dit_cache_interval > 1 evaluates the approximate turbo sampler — run
     it against the exact default to quantify the quality cost (mel-MAE,
@@ -312,7 +315,9 @@ def run_objective_eval(
     os.makedirs(out_dir, exist_ok=True)
 
     asr = asr if asr is not None else ASRScorer()
-    spk_scorer = spk_scorer if spk_scorer is not None else SpeakerScorer()
+    spk_scorer = spk_scorer if spk_scorer is not None else SpeakerScorer(
+        weights=spk_encoder
+    )
     maes, mcds, wers, cers, coss = [], [], [], [], []
 
     if test_file:

@@ -216,25 +216,68 @@ class ASRScorer:
 
 
 class SpeakerScorer:
-    """Resemblyzer speaker-embedding cosine similarity (optional backend).
-    reference: DEX-TTS/src/metric.py:15-22,80-95."""
+    """GE2E d-vector speaker-embedding cosine similarity.
+    reference: DEX-TTS/src/metric.py:15-22,69-95 (resemblyzer VoiceEncoder).
 
-    def __init__(self):
-        try:  # pragma: no cover - resemblyzer not in image
-            from resemblyzer import VoiceEncoder
+    Backends, in `backend` order of preference:
+    - ``"auto"`` (default): the resemblyzer package when importable;
+      else the built-in JAX reimplementation (`eval/speaker.py`) when a
+      ``weights`` path to resemblyzer's ``pretrained.pt`` is given —
+      the network is torch-twin-verified identical, so this is the real
+      metric; else unavailable (cosine → None).
+    - ``"resemblyzer"`` / ``"builtin"``: force one (builtin + no
+      weights errors — an accidental random-score path must be loud).
+    - ``"random-init"``: built-in encoder with random weights — runs the
+      full embedding path offline but the cosines are MEANINGLESS;
+      plumbing validation only (same contract as
+      ``ASRScorer("random-init")``); never report its scores."""
 
-            self.encoder = VoiceEncoder()
-            self.available = True
-        except Exception:
-            self.available = False
+    def __init__(self, backend: str = "auto", weights: str | None = None):
+        self.encoder = None
+        self.builtin = None
+        if backend not in ("auto", "resemblyzer", "builtin", "random-init"):
+            raise ValueError(f"unknown speaker backend {backend!r}")
+        if backend in ("auto", "resemblyzer"):
+            try:  # pragma: no cover - resemblyzer not in image
+                from resemblyzer import VoiceEncoder
+
+                self.encoder = VoiceEncoder()
+            except Exception:
+                if backend == "resemblyzer":
+                    self.available = False
+                    return
+        if self.encoder is None and (
+            backend in ("builtin", "random-init")
+            or (backend == "auto" and weights is not None)
+        ):
+            if backend == "builtin" and weights is None:
+                raise ValueError(
+                    "backend='builtin' needs a weights path; use "
+                    "backend='random-init' for the explicit plumbing-only "
+                    "random encoder"
+                )
+            from dex_tts_tpu.eval.speaker import BuiltinVoiceEncoder
+
+            self.builtin = BuiltinVoiceEncoder(
+                weights=None if backend == "random-init" else weights
+            )
+        self.available = self.encoder is not None or self.builtin is not None
 
     def cosine(self, wav_a, wav_b, sample_rate: int = 22050) -> float | None:
-        if not self.available:  # pragma: no cover
+        if not self.available:
             return None
-        from resemblyzer import preprocess_wav  # pragma: no cover
+        if self.encoder is not None:  # pragma: no cover - package absent
+            from resemblyzer import preprocess_wav
 
-        ea = self.encoder.embed_utterance(preprocess_wav(wav_a, sample_rate))
-        eb = self.encoder.embed_utterance(preprocess_wav(wav_b, sample_rate))
+            ea = self.encoder.embed_utterance(
+                preprocess_wav(wav_a, sample_rate)
+            )
+            eb = self.encoder.embed_utterance(
+                preprocess_wav(wav_b, sample_rate)
+            )
+        else:
+            ea = self.builtin.embed_utterance(wav_a, source_sr=sample_rate)
+            eb = self.builtin.embed_utterance(wav_b, source_sr=sample_rate)
         return float(np.dot(ea, eb) / (np.linalg.norm(ea) * np.linalg.norm(eb)))
 
 

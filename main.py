@@ -52,6 +52,12 @@ def parse_args():
                    help="warm-start params/EMA from a reference-format "
                         "torch checkpoint (.pth file or reference "
                         "experiment dir); optimizer state starts fresh")
+    p.add_argument("--spk_encoder", default=None, metavar="PT",
+                   help="test action: path to resemblyzer's pretrained.pt "
+                        "— enables the real speaker-cosine metric via the "
+                        "built-in torch-twin-verified GE2E encoder "
+                        "(eval/speaker.py) when the resemblyzer package "
+                        "is absent")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force a JAX backend (some TPU plugins ignore the "
                         "JAX_PLATFORMS env var; this flag does not)")
@@ -305,6 +311,7 @@ def test(args):
         test_file=args.test_file,
         dit_cache_interval=args.dit_cache_interval,
         solver=args.solver,
+        spk_encoder=args.spk_encoder,
     )
 
 

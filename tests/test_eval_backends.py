@@ -56,3 +56,133 @@ def test_asr_random_init_deterministic(scorer):
     rng = np.random.default_rng(2)
     wav = (0.1 * rng.standard_normal(22050)).astype(np.float32)
     assert scorer.transcribe(wav) == scorer.transcribe(wav)
+
+
+# ---------------------------------------------------------------------------
+# Speaker backend: built-in GE2E d-vector encoder (eval/speaker.py)
+# ---------------------------------------------------------------------------
+
+import jax.numpy as jnp  # noqa: E402
+
+from dex_tts_tpu.eval import speaker  # noqa: E402
+from dex_tts_tpu.eval.metric import SpeakerScorer  # noqa: E402
+
+
+def test_speaker_encoder_matches_torch_twin():
+    """Bit-level claim of eval/speaker.py: given the same weights, the JAX
+    network equals resemblyzer's torch VoiceEncoder stack (3-layer
+    LSTM-256 -> Linear -> ReLU -> row L2 norm).
+
+    reference: DEX-TTS/src/metric.py:15-22 (VoiceEncoder usage)."""
+    import torch
+
+    torch.manual_seed(0)
+    lstm = torch.nn.LSTM(speaker.N_MELS, speaker.HIDDEN,
+                         speaker.N_LAYERS, batch_first=True)
+    linear = torch.nn.Linear(speaker.HIDDEN, speaker.EMBED)
+    state = {f"lstm.{k}": v for k, v in lstm.state_dict().items()}
+    state |= {f"linear.{k}": v for k, v in linear.state_dict().items()}
+
+    params = {k: jnp.asarray(v) for k, v in
+              speaker.load_torch_state_dict(state).items()}
+    rng = np.random.default_rng(3)
+    frames = rng.standard_normal((4, 160, speaker.N_MELS)).astype(np.float32)
+
+    with torch.no_grad():
+        _, (hidden, _) = lstm(torch.from_numpy(frames))
+        raw = torch.relu(linear(hidden[-1]))
+        want = (raw / torch.norm(raw, dim=1, keepdim=True)).numpy()
+
+    got = np.asarray(speaker.embed_frames(params, jnp.asarray(frames)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_speaker_state_dict_loader_validates():
+    full = speaker.init_params()
+    assert set(speaker.load_torch_state_dict(dict(full))) == set(full)
+    # resemblyzer envelope + DataParallel prefixes unwrap
+    wrapped = {"model_state": {f"module.{k}": v for k, v in full.items()}}
+    assert set(speaker.load_torch_state_dict(wrapped)) == set(full)
+    incomplete = {k: v for k, v in full.items() if k != "linear.bias"}
+    with pytest.raises(ValueError, match="linear.bias"):
+        speaker.load_torch_state_dict(incomplete)
+
+
+@pytest.fixture(scope="module")
+def builtin_encoder():
+    return speaker.BuiltinVoiceEncoder(weights=None)
+
+
+def test_speaker_embed_utterance_shape_and_norm(builtin_encoder):
+    rng = np.random.default_rng(4)
+    wav = (0.1 * rng.standard_normal(3 * 22050)).astype(np.float32)
+    emb = builtin_encoder.embed_utterance(wav, source_sr=22050)
+    assert emb.shape == (speaker.EMBED,)
+    assert abs(float(np.linalg.norm(emb)) - 1.0) < 1e-5
+    # deterministic
+    emb2 = builtin_encoder.embed_utterance(wav, source_sr=22050)
+    np.testing.assert_array_equal(emb, emb2)
+
+
+def test_speaker_short_utterance_padded(builtin_encoder):
+    rng = np.random.default_rng(5)
+    wav = (0.1 * rng.standard_normal(1600)).astype(np.float32)  # 0.1 s
+    emb = builtin_encoder.embed_utterance(wav)
+    assert emb.shape == (speaker.EMBED,)
+    assert np.isfinite(emb).all()
+
+
+def test_speaker_partial_slices_cover_exactly():
+    for n in (10, 160, 161, 240, 400, 999):
+        slices = speaker.compute_partial_slices(n)
+        assert slices[0].start == 0 and slices[-1].stop == n
+        if n > speaker.PARTIAL_FRAMES:
+            assert all(s.stop - s.start == speaker.PARTIAL_FRAMES
+                       for s in slices)
+        # monotone, no gaps between consecutive windows
+        for a, b in zip(slices, slices[1:]):
+            assert b.start <= a.stop
+
+
+def test_speaker_scorer_random_init_cosine():
+    scorer = SpeakerScorer(backend="random-init")
+    assert scorer.available and scorer.builtin.random_init
+    rng = np.random.default_rng(6)
+    a = (0.1 * rng.standard_normal(22050)).astype(np.float32)
+    b = (0.1 * rng.standard_normal(22050)).astype(np.float32)
+    same = scorer.cosine(a, a)
+    cross = scorer.cosine(a, b)
+    assert abs(same - 1.0) < 1e-5
+    assert -1.0 - 1e-6 <= cross <= 1.0 + 1e-6
+
+
+def test_speaker_scorer_backend_validation():
+    with pytest.raises(ValueError, match="weights path"):
+        SpeakerScorer(backend="builtin")
+    with pytest.raises(ValueError, match="unknown speaker backend"):
+        SpeakerScorer(backend="ge2e")
+    # resemblyzer is absent in this image: forcing it is unavailable,
+    # auto without weights falls through to unavailable (cosine -> None)
+    assert SpeakerScorer(backend="resemblyzer").available is False
+    auto = SpeakerScorer()
+    assert auto.available is False
+    assert auto.cosine(np.zeros(100, np.float32),
+                       np.zeros(100, np.float32)) is None
+
+
+def test_speaker_scorer_builtin_weights_file(tmp_path):
+    """--spk_encoder path: a saved torch checkpoint loads through the
+    'auto' backend and produces real embeddings."""
+    import torch
+
+    path = tmp_path / "pretrained.pt"
+    torch.save(
+        {"model_state": {k: torch.from_numpy(v)
+                         for k, v in speaker.init_params(seed=7).items()}},
+        path,
+    )
+    scorer = SpeakerScorer(weights=str(path))
+    assert scorer.available and not scorer.builtin.random_init
+    rng = np.random.default_rng(8)
+    wav = (0.1 * rng.standard_normal(22050)).astype(np.float32)
+    assert abs(scorer.cosine(wav, wav) - 1.0) < 1e-5
