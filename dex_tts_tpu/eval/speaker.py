@@ -164,7 +164,14 @@ def preprocess_wav(wav: np.ndarray, source_sr: int) -> np.ndarray:
 
 def init_params(seed: int = 0) -> dict[str, np.ndarray]:
     """Random params in torch ``state_dict`` layout (uniform ±1/√H, the
-    torch.nn.LSTM/Linear default)."""
+    torch.nn.LSTM/Linear default).
+
+    The first layer's input weights are drawn 300× wider: power mels of
+    -30 dBFS audio are ~1e-3, and at the torch default scale they vanish
+    through the gates — every utterance then embeds to the same
+    bias-driven point and the random-init plumbing path could not detect
+    an input-ignoring bug. The wider draw keeps embeddings measurably
+    input-sensitive (tests/test_eval_backends.py asserts it)."""
     rng = np.random.default_rng(seed)
     k = 1.0 / np.sqrt(HIDDEN)
 
@@ -175,6 +182,10 @@ def init_params(seed: int = 0) -> dict[str, np.ndarray]:
     for layer in range(N_LAYERS):
         in_dim = N_MELS if layer == 0 else HIDDEN
         params[f"lstm.weight_ih_l{layer}"] = u(4 * HIDDEN, in_dim)
+        if layer == 0:
+            params["lstm.weight_ih_l0"] = (
+                300.0 * params["lstm.weight_ih_l0"]
+            ).astype(np.float32)
         params[f"lstm.weight_hh_l{layer}"] = u(4 * HIDDEN, HIDDEN)
         params[f"lstm.bias_ih_l{layer}"] = u(4 * HIDDEN)
         params[f"lstm.bias_hh_l{layer}"] = u(4 * HIDDEN)

@@ -148,12 +148,17 @@ def test_speaker_scorer_random_init_cosine():
     scorer = SpeakerScorer(backend="random-init")
     assert scorer.available and scorer.builtin.random_init
     rng = np.random.default_rng(6)
-    a = (0.1 * rng.standard_normal(22050)).astype(np.float32)
-    b = (0.1 * rng.standard_normal(22050)).astype(np.float32)
+    # 3 s clips: short ones get zero-padded to the 1.6 s partial length and
+    # the random LSTM's state forgets the input over the zero tail
+    a = (0.1 * rng.standard_normal(3 * 22050)).astype(np.float32)
+    b = (0.1 * rng.standard_normal(3 * 22050)).astype(np.float32)
     same = scorer.cosine(a, a)
     cross = scorer.cosine(a, b)
     assert abs(same - 1.0) < 1e-5
     assert -1.0 - 1e-6 <= cross <= 1.0 + 1e-6
+    # the random init is deliberately input-sensitive (init_params widens
+    # the first-layer draw) so an input-ignoring bug shows up here
+    assert cross < same - 1e-4
 
 
 def test_speaker_scorer_backend_validation():
