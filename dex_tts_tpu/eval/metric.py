@@ -237,6 +237,12 @@ class SpeakerScorer:
         self.builtin = None
         if backend not in ("auto", "resemblyzer", "builtin", "random-init"):
             raise ValueError(f"unknown speaker backend {backend!r}")
+        if backend == "random-init" and weights is not None:
+            raise ValueError(
+                "backend='random-init' ignores weights — pass "
+                "backend='builtin' (or 'auto') with the weights path for "
+                "the real metric"
+            )
         if backend in ("auto", "resemblyzer"):
             try:  # pragma: no cover - resemblyzer not in image
                 from resemblyzer import VoiceEncoder

@@ -110,8 +110,8 @@ def trim_long_silences(wav: np.ndarray) -> np.ndarray:
     Uses webrtcvad when importable (the reference's exact detector);
     otherwise an energy VAD on the same 30 ms grid: voiced = window RMS
     above -45 dBFS (signal is already normalized to -30), smoothed with
-    the same width-8 moving average and dilated by the same
-    6-window max-silence structure."""
+    the same width-8 asymmetric moving average and dilated with the same
+    (max_silence+1)-wide structuring element."""
     n_windows = len(wav) // _VAD_WINDOW
     if n_windows < _VAD_SMOOTH:
         return wav
@@ -133,21 +133,27 @@ def trim_long_silences(wav: np.ndarray) -> np.ndarray:
             np.mean(wav_t.reshape(n_windows, _VAD_WINDOW) ** 2, axis=1)
         )
         flags = (rms > 10.0 ** (-45.0 / 20.0)).astype(np.float32)
-    # width-8 moving average then binarize (resemblyzer's smoothing)
-    kernel = np.ones(_VAD_SMOOTH, np.float32) / _VAD_SMOOTH
-    smooth = np.convolve(flags, kernel, mode="same")
-    mask = smooth > 0.5
+    # width-8 moving average then binarize — resemblyzer's asymmetric
+    # window [i-3, i+4] (zero-pad (w-1)//2 left, w//2 right), not
+    # convolve-'same' whose even-width window is the mirror [i-4, i+3]
+    padded = np.concatenate([
+        np.zeros((_VAD_SMOOTH - 1) // 2, np.float32), flags,
+        np.zeros(_VAD_SMOOTH // 2, np.float32),
+    ])
+    csum = np.cumsum(padded, dtype=np.float64)
+    csum[_VAD_SMOOTH:] = csum[_VAD_SMOOTH:] - csum[:-_VAD_SMOOTH]
+    mask = (csum[_VAD_SMOOTH - 1:] / _VAD_SMOOTH) > 0.5
     if not mask.any():
         return wav
-    # dilate: keep up to max_silence windows around speech
+    # binary_dilation with a (max_silence+1)-wide structuring element:
+    # width 7 centered ⇒ ±3 windows kept around speech
+    width = _VAD_MAX_SILENCE + 1
     dil = np.zeros_like(mask)
-    for off in range(-_VAD_MAX_SILENCE, _VAD_MAX_SILENCE + 1):
+    for off in range(-((width - 1) // 2), width // 2 + 1):
         lo, hi = max(0, off), min(n_windows, n_windows + off)
         dil[lo:hi] |= mask[max(0, -off): n_windows - max(0, off)]
-    sample_mask = np.repeat(dil, _VAD_WINDOW)
-    return np.concatenate(
-        [wav_t[sample_mask], wav[n_windows * _VAD_WINDOW:]]
-    )
+    # resemblyzer discards the sub-window tail entirely
+    return wav_t[np.repeat(dil, _VAD_WINDOW)]
 
 
 def preprocess_wav(wav: np.ndarray, source_sr: int) -> np.ndarray:
@@ -219,7 +225,11 @@ def load_torch_state_dict(source) -> dict[str, np.ndarray]:
     expected = set(init_params())
     if set(out) != expected:
         missing = sorted(expected - set(out))
-        raise ValueError(f"speaker-encoder state dict missing {missing}")
+        unexpected = sorted(set(out) - expected)
+        raise ValueError(
+            f"speaker-encoder state dict mismatch: missing {missing}, "
+            f"unexpected {unexpected}"
+        )
     return out
 
 
@@ -295,17 +305,29 @@ class BuiltinVoiceEncoder:
         self._embed = jax.jit(embed_frames)
 
     def embed_utterance(self, wav: np.ndarray,
-                        source_sr: int = SAMPLE_RATE) -> np.ndarray:
-        """Preprocessed-or-raw wav → (256,) unit-norm utterance embedding
-        (mean of partial embeddings, renormalized — VoiceEncoder.
-        embed_utterance)."""
-        if source_sr != SAMPLE_RATE:
+                        source_sr: int = SAMPLE_RATE,
+                        preprocess: bool = True) -> np.ndarray:
+        """Raw wav → (256,) unit-norm utterance embedding (mean of
+        partial embeddings, renormalized — VoiceEncoder.embed_utterance).
+
+        Preprocessing (resample/normalize/trim) always runs so 16 kHz
+        input takes the same path as any other rate — resample is a
+        no-op there; pass preprocess=False only for already-preprocessed
+        wavs (resemblyzer's own calling convention)."""
+        if preprocess:
             wav = preprocess_wav(wav, source_sr)
         mels = wav_to_mel_frames(wav)
         if len(mels) < PARTIAL_FRAMES:
             mels = np.pad(mels, ((0, PARTIAL_FRAMES - len(mels)), (0, 0)))
         parts = np.stack([mels[s] for s in
                           compute_partial_slices(len(mels))])
+        # pad the partial count to the next pow2: the jitted scan would
+        # otherwise recompile for every distinct utterance length —
+        # ruinous on the remote-compile TPU backend (CLAUDE.md)
+        n = len(parts)
+        bucket = 1 << (n - 1).bit_length()
+        if bucket > n:
+            parts = np.pad(parts, ((0, bucket - n), (0, 0), (0, 0)))
         embeds = np.asarray(self._embed(self.params, jnp.asarray(parts)))
-        mean = embeds.mean(axis=0)
+        mean = embeds[:n].mean(axis=0)
         return mean / max(float(np.linalg.norm(mean)), 1e-8)

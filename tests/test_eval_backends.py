@@ -191,3 +191,83 @@ def test_speaker_scorer_builtin_weights_file(tmp_path):
     rng = np.random.default_rng(8)
     wav = (0.1 * rng.standard_normal(22050)).astype(np.float32)
     assert abs(scorer.cosine(wav, wav) - 1.0) < 1e-5
+
+
+def test_speaker_scorer_random_init_rejects_weights(tmp_path):
+    with pytest.raises(ValueError, match="ignores weights"):
+        SpeakerScorer(backend="random-init", weights=str(tmp_path / "x.pt"))
+
+
+def test_speaker_loader_reports_unexpected_keys():
+    full = speaker.init_params()
+    extra = dict(full)
+    extra["lstm.weight_ih_l3"] = full["lstm.weight_ih_l1"]
+    with pytest.raises(ValueError, match="unexpected.*weight_ih_l3"):
+        speaker.load_torch_state_dict(extra)
+
+
+def test_speaker_16k_input_is_preprocessed(builtin_encoder):
+    """16 kHz input must take the same normalize/trim path as any other
+    rate — the resemblyzer branch always preprocesses, so the builtin
+    must too or identical weights would give different cosines."""
+    rng = np.random.default_rng(9)
+    quiet = (1e-3 * rng.standard_normal(3 * 16000)).astype(np.float32)
+    via_16k = builtin_encoder.embed_utterance(quiet, source_sr=16000)
+    manual = builtin_encoder.embed_utterance(
+        speaker.preprocess_wav(quiet, 16000), preprocess=False
+    )
+    np.testing.assert_allclose(via_16k, manual, rtol=1e-6, atol=1e-7)
+    # and preprocessing actually changed the input (volume normalize)
+    raw = builtin_encoder.embed_utterance(quiet, preprocess=False)
+    assert not np.allclose(via_16k, raw)
+
+
+def test_speaker_vad_moving_average_matches_resemblyzer():
+    """The smoothing window is [i-3, i+4] (asymmetric zero pad), the
+    dilation a 7-wide centered structuring element — resemblyzer's
+    moving_average + binary_dilation(ones(max_silence+1)) semantics."""
+    from scipy.ndimage import binary_dilation
+
+    rng = np.random.default_rng(10)
+    # speech / 300 ms pause / speech at -30 dBFS-ish levels, 16 kHz
+    loud = 0.1 * rng.standard_normal(16000)
+    pause = 1e-4 * rng.standard_normal(10 * speaker._VAD_WINDOW)
+    wav = np.concatenate([loud, pause, loud]).astype(np.float32)
+    got = speaker.trim_long_silences(wav)
+
+    n_win = len(wav) // speaker._VAD_WINDOW
+    w = wav[: n_win * speaker._VAD_WINDOW]
+    rms = np.sqrt(np.mean(w.reshape(n_win, -1) ** 2, axis=1))
+    flags = (rms > 10.0 ** (-45.0 / 20.0)).astype(np.float32)
+    width = speaker._VAD_SMOOTH
+    padded = np.concatenate([np.zeros((width - 1) // 2), flags,
+                             np.zeros(width // 2)])
+    csum = np.cumsum(padded)
+    mov = np.empty(n_win)
+    mov[0] = csum[width - 1] / width
+    mov[1:] = (csum[width:] - csum[:-width]) / width
+    mask = binary_dilation(
+        mov > 0.5, np.ones(speaker._VAD_MAX_SILENCE + 1, bool)
+    )
+    want = w[np.repeat(mask, speaker._VAD_WINDOW)]
+    np.testing.assert_array_equal(got, want)
+    assert len(got) < len(wav)  # some of the pause was trimmed
+
+
+def test_speaker_partial_count_bucketed(builtin_encoder, monkeypatch):
+    """Utterances with different partial counts in the same pow2 bucket
+    must reuse one compiled embed (no per-length recompiles on the
+    remote-compile TPU backend)."""
+    calls = []
+    real = builtin_encoder._embed
+    monkeypatch.setattr(
+        builtin_encoder, "_embed",
+        lambda p, f: (calls.append(f.shape), real(p, f))[1],
+    )
+    rng = np.random.default_rng(11)
+    for seconds in (3.0, 3.4, 3.8):  # 3-4 partials -> all bucket to 4
+        wav = (0.1 * rng.standard_normal(int(seconds * 16000))).astype(
+            np.float32
+        )
+        builtin_encoder.embed_utterance(wav)
+    assert len({s[0] for s in calls}) == 1, calls
