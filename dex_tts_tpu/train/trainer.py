@@ -214,6 +214,7 @@ class Trainer:
         donate: bool = True,
         mesh=None,
         preemption=None,
+        async_ckpt: bool = False,
     ):
         self.model = model
         self.state = state
@@ -230,7 +231,12 @@ class Trainer:
         self.syn_every = syn_every
         self.syn_fn = syn_fn
         os.makedirs(exp_dir, exist_ok=True)
-        self.ckpt = CheckpointManager(os.path.join(exp_dir, "ckpt"))
+        # async_ckpt: epoch-boundary saves return after the device→host
+        # copy and persist in the background (train/checkpoint.py); fit()
+        # waits before returning so nothing is lost on exit
+        self.ckpt = CheckpointManager(
+            os.path.join(exp_dir, "ckpt"), async_save=async_ckpt
+        )
 
         step = make_train_step(
             model, tx, out_size, ema_decay, mask_ratio, accum_steps
@@ -360,6 +366,7 @@ class Trainer:
                 # grace-window checkpoint: resume continues from here
                 self.ckpt.save(self.state, "last")
                 self.ckpt.save(self.state, "preempt")
+                self.ckpt.wait()  # must be durable before the grace window ends
                 self.log(
                     f"preempted during epoch {epoch + 1}: saved "
                     "last/preempt checkpoints, exiting"
@@ -388,4 +395,5 @@ class Trainer:
 
             if self.syn_every and self.syn_fn and (epoch + 1) % self.syn_every == 0:
                 self.syn_fn(self.state, epoch + 1)
+        self.ckpt.wait()  # async saves must be durable before we return
         return self.state

@@ -278,6 +278,7 @@ def train(args):
         syn_fn=syn_fn,
         mesh=mesh,
         preemption=guard,
+        async_ckpt=bool(cfg.train.get("async_ckpt", False)),
     )
     if args.resume and trainer.ckpt.exists("last"):
         restored = trainer.ckpt.restore(state, "last")

@@ -89,6 +89,27 @@ def test_checkpoint_roundtrip(model_state, tmp_path):
 
 
 @pytest.mark.slow
+def test_checkpoint_async_roundtrip(model_state, tmp_path):
+    """async_save: save() returns after the device->host copy; wait()/
+    restore()/exists() serialize with the background write and the
+    restored state is bitwise identical (train/checkpoint.py)."""
+    import os
+    model, state, tx = model_state
+    mgr = CheckpointManager(os.path.join(tmp_path, "ckpt"), async_save=True)
+    mgr.save(state, "a")
+    mgr.save(state, "b")  # overlapping saves must serialize, not error
+    # no explicit wait: exists()/restore() do it themselves
+    assert mgr.exists("a") and mgr.exists("b")
+    for tag in ("a", "b"):
+        restored = mgr.restore(state, tag)
+        for x, y in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        assert int(restored.step) == int(state.step)
+    mgr.wait()  # idempotent with nothing in flight
+
+
+@pytest.mark.slow
 def test_data_parallel_matches_single_device(model_state):
     model, state, tx = model_state
     assert jax.device_count() >= 8, "conftest should provide 8 CPU devices"
