@@ -124,10 +124,64 @@ def prepare_align_esd(cfg: PreprocessConfig) -> None:
                 _write_lab(os.path.join(out_dir, f"{base}.emo"), emotion)
 
 
+def prepare_align_libritts(cfg: PreprocessConfig) -> None:
+    """LibriTTS: {subset}/{speaker}/{chapter}/{utt}.wav + {utt}.normalized.txt
+    (falls back to .original.txt). corpus_path may be the LibriTTS root
+    (subset dirs inside) or a single subset dir (speaker dirs inside).
+    The reference *intends* this preprocessor but ships a latent
+    ImportError instead (reference: DEX-TTS/preprocess/preprocess.py:6
+    imports a `libritts` module that does not exist in-tree); the filelist
+    side does exist (make_file/make_filelist_libri.py), so this completes
+    the pipeline it expects."""
+    subset_dirs = []
+    for name in sorted(os.listdir(cfg.corpus_path)):
+        cand = os.path.join(cfg.corpus_path, name)
+        # a subset dir contains numeric speaker dirs
+        if os.path.isdir(cand) and any(
+            d.isdigit() for d in os.listdir(cand)
+        ):
+            subset_dirs.append(cand)
+    if any(d.isdigit() for d in os.listdir(cfg.corpus_path)):
+        subset_dirs = [cfg.corpus_path]  # corpus_path IS a subset dir
+    for subset in subset_dirs:
+        for spk in sorted(os.listdir(subset)):
+            spk_dir = os.path.join(subset, spk)
+            if not os.path.isdir(spk_dir) or not spk.isdigit():
+                continue
+            out_dir = os.path.join(cfg.raw_path, spk)
+            for chapter in sorted(os.listdir(spk_dir)):
+                chap_dir = os.path.join(spk_dir, chapter)
+                if not os.path.isdir(chap_dir):
+                    continue
+                for name in sorted(os.listdir(chap_dir)):
+                    if not name.endswith(".wav"):
+                        continue
+                    base = os.path.splitext(name)[0]
+                    text = None
+                    for suffix in (".normalized.txt", ".original.txt"):
+                        txt = os.path.join(chap_dir, base + suffix)
+                        if os.path.isfile(txt):
+                            with open(txt, encoding="utf-8") as f:
+                                text = f.read().strip()
+                            break
+                    if not text:
+                        continue
+                    wav, sr = read_wav(os.path.join(chap_dir, name))
+                    wav = peak_normalize(resample(wav, sr, cfg.sample_rate))
+                    os.makedirs(out_dir, exist_ok=True)
+                    write_wav(
+                        os.path.join(out_dir, f"{base}.wav"),
+                        wav,
+                        cfg.sample_rate,
+                    )
+                    _write_lab(os.path.join(out_dir, f"{base}.lab"), text)
+
+
 PREPARE_ALIGN = {
     "LJSpeech": prepare_align_ljspeech,
     "VCTK": prepare_align_vctk,
     "ESD": prepare_align_esd,
+    "LibriTTS": prepare_align_libritts,
 }
 
 

@@ -22,7 +22,11 @@ from dex_tts_tpu.preprocess.preprocessor import (
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--dataset", required=True, choices=["LJSpeech", "VCTK", "ESD"])
+    p.add_argument(
+        "--dataset",
+        required=True,
+        choices=["LJSpeech", "VCTK", "ESD", "LibriTTS"],
+    )
     p.add_argument("--corpus_path", required=True)
     p.add_argument("--raw_path", default="./raw_data")
     p.add_argument("--out_path", default="./preprocessed")
@@ -31,6 +35,8 @@ def main():
     p.add_argument("--skip_align", action="store_true")
     p.add_argument("--unseen_spk", type=int, nargs="*", default=None)
     p.add_argument("--n_random_unseen", type=int, default=0)
+    p.add_argument("--min_frames", type=int, default=0)
+    p.add_argument("--max_frames", type=int, default=10**9)
     p.add_argument("--seed", type=int, default=100)
     args = p.parse_args()
 
@@ -53,6 +59,8 @@ def main():
             dataset=args.dataset,
             unseen_speakers=args.unseen_spk,
             n_random_unseen=args.n_random_unseen,
+            min_frames=args.min_frames,
+            max_frames=args.max_frames,
             seed=args.seed,
         )
         print("filelists:", counts)

@@ -60,6 +60,44 @@ def test_preprocess_ljspeech_end_to_end(tmp_path):
     assert line[2] == "0"
 
 
+def test_preprocess_libritts_prepare_align(tmp_path):
+    """LibriTTS layout → raw_path/{spk}/ wav+lab; works from the corpus
+    root (subset dirs) and from a single subset dir."""
+    sr = 22050
+    corpus = os.path.join(tmp_path, "LibriTTS")
+    rng = np.random.default_rng(1)
+    for spk, chap in (("19", "198"), ("26", "495")):
+        chap_dir = os.path.join(corpus, "train-clean-100", spk, chap)
+        os.makedirs(chap_dir)
+        for utt in range(2):
+            base = f"{spk}_{chap}_{utt:06d}_{0:06d}"
+            wav = 0.3 * rng.standard_normal(sr // 2).astype(np.float32)
+            write_wav(os.path.join(chap_dir, f"{base}.wav"), wav, sr)
+            suffix = ".normalized.txt" if utt == 0 else ".original.txt"
+            with open(os.path.join(chap_dir, base + suffix), "w") as f:
+                f.write(f"Sentence {utt} of speaker {spk}.\n")
+
+    cfg = PreprocessConfig(
+        corpus_path=corpus,
+        raw_path=os.path.join(tmp_path, "raw"),
+        out_path=os.path.join(tmp_path, "pre"),
+    )
+    prepare_align("LibriTTS", cfg)
+    for spk in ("19", "26"):
+        names = sorted(os.listdir(os.path.join(cfg.raw_path, spk)))
+        assert len([n for n in names if n.endswith(".lab")]) == 2
+        assert len([n for n in names if n.endswith(".wav")]) == 2
+
+    # pointing straight at the subset dir works too
+    cfg2 = PreprocessConfig(
+        corpus_path=os.path.join(corpus, "train-clean-100"),
+        raw_path=os.path.join(tmp_path, "raw2"),
+        out_path=os.path.join(tmp_path, "pre2"),
+    )
+    prepare_align("LibriTTS", cfg2)
+    assert sorted(os.listdir(cfg2.raw_path)) == ["19", "26"]
+
+
 def test_filelist_unseen_speakers(tmp_path):
     rows = [
         {"mel_path": f"m{i}", "text": "t", "speaker_id": i % 4, "n_frames": 100}
