@@ -69,6 +69,9 @@ def main():
                         "picks the measured winner per dtype (fold for "
                         "bf16, polyphase for f32), 'fold' forces the "
                         "fused full-lane TPU kernel")
+    p.add_argument("--upsample_impl", default="conv_transpose",
+                   choices=["conv_transpose", "subpixel"],
+                   help="vocoder upsampler lowering (see vocoder/upsample.py)")
     p.add_argument("--vocoder_dtype", default="auto",
                    choices=["auto", "float32", "bfloat16"],
                    help="vocoder compute dtype; 'auto' picks the measured "
@@ -105,12 +108,16 @@ def main():
     if args.vocoder == "bigvgan":
         vocoder = BigVGANGenerator(
             BigVGANConfig(
-                num_mels=80, snake_impl=args.snake_impl, dtype=voc_dtype
+                num_mels=80, snake_impl=args.snake_impl, dtype=voc_dtype,
+                upsample_impl=args.upsample_impl,
             )
         )
     else:
         vocoder = HiFiGANGenerator(
-            HiFiGANConfig(num_mels=80, dtype=voc_dtype)
+            HiFiGANConfig(
+                num_mels=80, dtype=voc_dtype,
+                upsample_impl=args.upsample_impl,
+            )
         )
 
     @jax.jit

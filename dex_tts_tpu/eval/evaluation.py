@@ -102,10 +102,21 @@ def load_vocoder(cfg, strict: bool = False):
                 orbax_tag = t
                 break
 
+    if cfg.get("vocoder_upsample_impl"):
+        arch["upsample_impl"] = str(cfg.vocoder_upsample_impl)
+    if cfg.get("vocoder_dtype"):
+        # "auto" = the measured per-vocoder winner on TPU (bf16 BigVGAN
+        # with the fold snake, f32 HiFi-GAN — docs/PERFORMANCE.md)
+        dt = str(cfg.vocoder_dtype)
+        if dt == "auto":
+            dt = (
+                "bfloat16"
+                if kind == "bigvgan" and jax.default_backend() == "tpu"
+                else "float32"
+            )
+        arch["dtype"] = dt
     if kind == "bigvgan":
         # optional TPU knobs (see ops/snake.py, BigVGANConfig)
-        if cfg.get("vocoder_dtype"):
-            arch["dtype"] = str(cfg.vocoder_dtype)
         if cfg.get("vocoder_snake_pallas"):
             arch["snake_pallas"] = bool(cfg.vocoder_snake_pallas)
         if cfg.get("vocoder_snake_impl"):

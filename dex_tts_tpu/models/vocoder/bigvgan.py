@@ -26,6 +26,7 @@ from ...ops.snake import (  # noqa: F401  (re-exported for tests/parity)
     snake_antialias,
     snake_antialias_polyphase,
 )
+from .upsample import SubpixelConvTranspose
 
 
 @dataclass(frozen=True)
@@ -70,6 +71,11 @@ class BigVGANConfig:
     # Each f32<->bf16 boundary retiles one full-T tensor — keep the
     # boundary count at 1 (a prefix of bf16 stages, then f32).
     stage_dtypes: tuple | None = None
+    # Upsampler lowering: "conv_transpose" (lax.conv_transpose over a
+    # zero-inserted input) or "subpixel" (dense stride-1 conv +
+    # depth-to-space interleave; identical math and params — see
+    # vocoder/upsample.py).
+    upsample_impl: str = "conv_transpose"
 
 
 def upsample2x_antialias(x, ratio: int = 2, kernel_size: int | None = None):
@@ -252,16 +258,21 @@ class BigVGANGenerator(nn.Module):
             dtype = jnp.dtype(stage_dtypes[i])
             x = x.astype(dtype)
             ch = cfg.upsample_initial_channel // (2 ** (i + 1))
-            p = k - 1 - (k - u) // 2  # torch p=(k-u)//2 → flax k-1-p
-            x = nn.ConvTranspose(
-                ch,
-                (k,),
-                strides=(u,),
-                padding=[(p, p)],
-                transpose_kernel=True,
-                dtype=dtype,
-                name=f"up_{i}",
-            )(x)
+            if cfg.upsample_impl == "subpixel":
+                x = SubpixelConvTranspose(
+                    ch, k, u, dtype=str(dtype), name=f"up_{i}"
+                )(x)
+            else:
+                p = k - 1 - (k - u) // 2  # torch p=(k-u)//2 → flax k-1-p
+                x = nn.ConvTranspose(
+                    ch,
+                    (k,),
+                    strides=(u,),
+                    padding=[(p, p)],
+                    transpose_kernel=True,
+                    dtype=dtype,
+                    name=f"up_{i}",
+                )(x)
             acc = None
             for j, (rk, rd) in enumerate(
                 zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)

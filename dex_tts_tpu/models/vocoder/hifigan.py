@@ -18,6 +18,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from dex_tts_tpu.models.vocoder.upsample import SubpixelConvTranspose
+
 LRELU_SLOPE = 0.1
 
 
@@ -33,6 +35,10 @@ class HiFiGANConfig:
     # grouped) 1-D convs run fast in bfloat16 on v5e; the final conv_post +
     # tanh stay float32 regardless so the waveform keeps full precision.
     dtype: str = "float32"
+    # upsampler lowering: "conv_transpose" (lax.conv_transpose, zero-
+    # inserted input) or "subpixel" (dense stride-1 conv + depth-to-space;
+    # same params/math — see vocoder/upsample.py).
+    upsample_impl: str = "conv_transpose"
 
 
 def _same_pad(kernel: int, dilation: int = 1) -> int:
@@ -94,16 +100,21 @@ class HiFiGANGenerator(nn.Module):
             x = nn.leaky_relu(x, LRELU_SLOPE)
             # torch ConvTranspose1d(k, u, padding=(k-u)//2) ⇒ out = u·in;
             # flax explicit pad = k-1-(k-u)//2 (see unet.Upsample note)
-            p = k - 1 - (k - u) // 2
-            x = nn.ConvTranspose(
-                ch,
-                (k,),
-                strides=(u,),
-                padding=[(p, p)],
-                transpose_kernel=True,
-                dtype=dt,
-                name=f"up_{i}",
-            )(x)
+            if cfg.upsample_impl == "subpixel":
+                x = SubpixelConvTranspose(
+                    ch, k, u, dtype=cfg.dtype, name=f"up_{i}"
+                )(x)
+            else:
+                p = k - 1 - (k - u) // 2
+                x = nn.ConvTranspose(
+                    ch,
+                    (k,),
+                    strides=(u,),
+                    padding=[(p, p)],
+                    transpose_kernel=True,
+                    dtype=dt,
+                    name=f"up_{i}",
+                )(x)
             acc = None
             for j, (rk, rd) in enumerate(
                 zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)

@@ -59,6 +59,16 @@ VARIANTS = {
     # — attacks the measured 2-10%-of-HBM-ceiling narrow-C stages directly
     "fold_f32": BigVGANConfig(num_mels=80, snake_impl="fold"),
     "fold_bf16": BigVGANConfig(num_mels=80, dtype=BF, snake_impl="fold"),
+    # sub-pixel (depth-to-space) upsampler lowering: dense stride-1 conv
+    # instead of lax.conv_transpose's zero-inserted input (u× wasted MACs
+    # at the MXU) — exact same math/params (models/vocoder/upsample.py)
+    "subpix_f32": BigVGANConfig(num_mels=80, upsample_impl="subpixel"),
+    "subpix_bf16": BigVGANConfig(
+        num_mels=80, dtype=BF, upsample_impl="subpixel"
+    ),
+    "subpix_fold_bf16": BigVGANConfig(
+        num_mels=80, dtype=BF, snake_impl="fold", upsample_impl="subpixel"
+    ),
 }
 
 

@@ -276,3 +276,91 @@ def test_load_vocoder_snake_impl_knob():
     voc, params = load_vocoder(cfg)
     assert voc.cfg.snake_impl == "fold"
     assert params
+
+
+def test_load_vocoder_upsample_impl_and_auto_dtype_knobs():
+    """`vocoder_upsample_impl` reaches both generators' configs and
+    `vocoder_dtype: auto` resolves to a real dtype (bf16 BigVGAN on TPU,
+    f32 otherwise) instead of crashing jnp.dtype."""
+    from dex_tts_tpu.eval.evaluation import load_vocoder
+    from dex_tts_tpu.utils import Config
+
+    for kind in ("hifigan", "bigvgan"):
+        cfg = Config(
+            {
+                "vocoder": kind,
+                "preprocess": {"n_mels": 80},
+                "path": {},
+                "vocoder_upsample_impl": "subpixel",
+                "vocoder_dtype": "auto",
+            }
+        )
+        voc, params = load_vocoder(cfg)
+        assert voc.cfg.upsample_impl == "subpixel"
+        assert voc.cfg.dtype in ("float32", "bfloat16")
+        assert params
+
+
+def test_subpixel_upsampler_matches_conv_transpose():
+    """The subpixel (polyphase depth-to-space) upsampler lowering is
+    numerically the same op with the same param tree as the default
+    nn.ConvTranspose form — at every (k, u) pair the vocoders use
+    (HiFi-GAN/BigVGAN-22k: (16,8), (8,4), (4,2))."""
+    import dataclasses
+
+    from flax.core import unfreeze
+
+    from dex_tts_tpu.models.vocoder import BigVGANConfig, BigVGANGenerator
+
+    rng = jax.random.PRNGKey(3)
+    mel = jax.random.normal(rng, (2, 8, 30))
+
+    for base_cfg, gen_cls in (
+        (TINY, HiFiGANGenerator),
+        (
+            BigVGANConfig(
+                num_mels=8,
+                upsample_rates=(4, 2),
+                upsample_kernel_sizes=(8, 4),
+                upsample_initial_channel=16,
+                resblock_kernel_sizes=(3, 5),
+                resblock_dilation_sizes=((1, 2), (1, 2)),
+            ),
+            BigVGANGenerator,
+        ),
+    ):
+        ref_model = gen_cls(base_cfg)
+        sub_model = gen_cls(
+            dataclasses.replace(base_cfg, upsample_impl="subpixel")
+        )
+        params = ref_model.init(rng, mel)
+        # identical param trees → checkpoint-interchangeable
+        sub_params = sub_model.init(rng, mel)
+        assert jax.tree.structure(unfreeze(params)) == jax.tree.structure(
+            unfreeze(sub_params)
+        )
+        y_ref = ref_model.apply(params, mel)
+        y_sub = sub_model.apply(params, mel)
+        assert y_ref.shape == y_sub.shape
+        np.testing.assert_allclose(
+            np.asarray(y_ref), np.asarray(y_sub), rtol=0, atol=2e-5
+        )
+
+    # also the odd (16, 8) pair at full HiFi-GAN scale on one layer
+    from dex_tts_tpu.models.vocoder.upsample import SubpixelConvTranspose
+    import flax.linen as nn
+
+    x = jax.random.normal(rng, (1, 13, 6))
+    for k, u in ((16, 8), (8, 4), (4, 2)):
+        p = k - 1 - (k - u) // 2
+        ct = nn.ConvTranspose(
+            5, (k,), strides=(u,), padding=[(p, p)], transpose_kernel=True
+        )
+        sp = SubpixelConvTranspose(5, k, u)
+        v = ct.init(rng, x)
+        np.testing.assert_allclose(
+            np.asarray(ct.apply(v, x)),
+            np.asarray(sp.apply(v, x)),
+            rtol=0,
+            atol=1e-5,
+        )
