@@ -248,10 +248,19 @@ class SpeakerScorer:
                 from resemblyzer import VoiceEncoder
 
                 self.encoder = VoiceEncoder()
-            except Exception:
+            except Exception as e:
                 if backend == "resemblyzer":
-                    self.available = False
-                    return
+                    # an explicitly forced backend must not degrade to
+                    # cosine()->None quietly (same contract as
+                    # backend='builtin' without weights, which raises)
+                    raise ImportError(
+                        "backend='resemblyzer' was forced but the "
+                        "resemblyzer package is unavailable "
+                        f"({type(e).__name__}: {e}); use backend='auto' "
+                        "for graceful fallback, or backend='builtin' with "
+                        "a pretrained.pt weights path for the package-free "
+                        "GE2E encoder"
+                    ) from e
         if self.encoder is None and (
             backend in ("builtin", "random-init")
             or (backend == "auto" and weights is not None)

@@ -57,6 +57,7 @@ valid path can visit, and keep alignment on the TPU (no host sync).
 from __future__ import annotations
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -68,13 +69,91 @@ _NEG = -1e9
 # None = auto (pallas on TPU, scan otherwise); "scan" | "pallas" force one
 _BACKEND: str | None = None
 
+# Runtime invariant check on the opt-in pallas path (see MASPathError).
+_GUARD: bool = True
+
+
+class MASPathError(RuntimeError):
+    """The MAS path violated its structural invariant at runtime.
+
+    A valid monotonic alignment emits exactly one token per active mel
+    frame, so per item `sum(path) == t_y` (the masked frame count). The
+    known failure mode this guards is the v5e remote-backend custom-call
+    corruption (all-zero paths at batch-128 grids with mixed-dtype
+    producers — docs/TRAINING.md post-mortem): training would otherwise
+    proceed silently on zero alignments with dur_loss ≈ (log 1e-8)² ≈ 339.
+    """
+
 
 def set_mas_backend(backend: str | None) -> None:
     """Force the MAS implementation ("scan" | "pallas") or restore auto
-    dispatch (None). Applies at trace time — call before jit compiles."""
+    dispatch (None). Applies at trace time — call before jit compiles.
+
+    Opting into "pallas" warns: the kernel has a known silent-corruption
+    mode inside mixed-dtype train graphs on the v5e remote backend
+    (docs/TRAINING.md). The dispatcher therefore wraps the pallas path in
+    a runtime invariant check (`check_mas_path`) that raises MASPathError
+    instead of letting training continue on all-zero alignments; disable
+    only with `set_mas_guard(False)`.
+    """
     global _BACKEND
     assert backend in (None, "scan", "pallas"), backend
+    if backend == "pallas":
+        warnings.warn(
+            "set_mas_backend('pallas'): the pallas MAS kernel has a known "
+            "SILENT-corruption mode at large batch grids with mixed-dtype "
+            "producers on the v5e remote backend (all-zero alignment "
+            "paths; see docs/TRAINING.md). A runtime invariant guard is "
+            "active and will raise MASPathError if a corrupt path is "
+            "produced; the scan backend (default) has no such failure "
+            "mode and is equally fast in-step.",
+            stacklevel=2,
+        )
     _BACKEND = backend
+
+
+def set_mas_guard(enabled: bool) -> None:
+    """Enable/disable the runtime path-invariant guard on the opt-in
+    pallas dispatcher path (default: enabled). Trace-time switch."""
+    global _GUARD
+    _GUARD = bool(enabled)
+
+
+def _raise_on_bad_path(got: jnp.ndarray, want: jnp.ndarray) -> None:
+    import numpy as np
+
+    got = np.asarray(got)
+    want = np.asarray(want)
+    if not np.array_equal(got, want):
+        bad = np.nonzero(got != want)[0]
+        raise MASPathError(
+            "MAS path invariant violated: per-item path frame counts "
+            f"{got[bad][:8].tolist()} != masked frame counts "
+            f"{want[bad][:8].tolist()} for batch items {bad[:8].tolist()} "
+            f"({bad.size}/{got.size} items corrupt). This is the known "
+            "pallas-MAS custom-call corruption on this backend — use the "
+            "scan backend (set_mas_backend(None) or 'scan'); see "
+            "docs/TRAINING.md."
+        )
+
+
+def check_mas_path(path: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Attach a runtime invariant check to `path`: every active frame
+    emits exactly one token, i.e. per item `sum(path) == t_y`. Raises
+    MASPathError (from inside the compiled step, via debug callback) on
+    violation; returns `path` unchanged. Cost: one (B,) reduction + a
+    few-byte async host transfer per step."""
+    got = jnp.round(
+        jnp.sum(path.astype(jnp.float32), axis=(1, 2))
+    ).astype(jnp.int32)
+    want = jnp.round(
+        jnp.sum(mask[:, 0, :].astype(jnp.float32), axis=1)
+    ).astype(jnp.int32)
+    if isinstance(got, jax.core.Tracer) or isinstance(want, jax.core.Tracer):
+        jax.debug.callback(_raise_on_bad_path, got, want)
+    else:
+        _raise_on_bad_path(got, want)  # eager: raise MASPathError directly
+    return path
 
 
 def maximum_path(value: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -89,7 +168,10 @@ def maximum_path(value: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         # (module docstring point 2) while being 1.000x in-step anyway
         backend = "scan"
     if backend == "pallas":
-        return maximum_path_pallas(value, mask)
+        path = maximum_path_pallas(value, mask)
+        if _GUARD:
+            path = check_mas_path(path, mask)
+        return path
     return maximum_path_scan(value, mask)
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import csv
 import os
+import warnings
 from dataclasses import dataclass
 
 import jax.numpy as jnp
@@ -133,16 +134,31 @@ def prepare_align_libritts(cfg: PreprocessConfig) -> None:
     imports a `libritts` module that does not exist in-tree); the filelist
     side does exist (make_file/make_filelist_libri.py), so this completes
     the pipeline it expects."""
-    subset_dirs = []
-    for name in sorted(os.listdir(cfg.corpus_path)):
-        cand = os.path.join(cfg.corpus_path, name)
-        # a subset dir contains numeric speaker dirs
-        if os.path.isdir(cand) and any(
-            d.isdigit() for d in os.listdir(cand)
-        ):
-            subset_dirs.append(cand)
-    if any(d.isdigit() for d in os.listdir(cfg.corpus_path)):
+    def _has_numeric_subdir(path: str) -> bool:
+        # numeric-named *directories* only — a stray numeric FILE must not
+        # flip the layout detection (it previously discarded all real
+        # subset dirs and silently processed nothing)
+        return any(
+            d.isdigit() and os.path.isdir(os.path.join(path, d))
+            for d in os.listdir(path)
+        )
+
+    if _has_numeric_subdir(cfg.corpus_path):
         subset_dirs = [cfg.corpus_path]  # corpus_path IS a subset dir
+    else:
+        subset_dirs = [
+            cand
+            for name in sorted(os.listdir(cfg.corpus_path))
+            # a subset dir contains numeric speaker dirs
+            if os.path.isdir(cand := os.path.join(cfg.corpus_path, name))
+            and _has_numeric_subdir(cand)
+        ]
+        if not subset_dirs:
+            warnings.warn(
+                f"prepare_align_libritts: {cfg.corpus_path!r} matches "
+                "neither LibriTTS layout (no numeric speaker dirs at the "
+                "root, no subset dirs containing them) — nothing to do."
+            )
     for subset in subset_dirs:
         for spk in sorted(os.listdir(subset)):
             spk_dir = os.path.join(subset, spk)

@@ -10,11 +10,24 @@ dead code — src/utils.py:75-92).
 from __future__ import annotations
 
 import os
+import shutil
+import threading
 
 import jax
 import orbax.checkpoint as ocp
 
 from dex_tts_tpu.train.state import TrainState
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Copy a committed checkpoint directory via hard links (content is
+    immutable once written), falling back to real copies when the
+    filesystem refuses links."""
+    try:
+        shutil.copytree(src, dst, copy_function=os.link)
+    except OSError:
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(src, dst)
 
 
 class CheckpointManager:
@@ -24,28 +37,73 @@ class CheckpointManager:
     train step cannot corrupt the snapshot) and persists to disk in a
     background thread. Training then overlaps disk IO instead of
     stalling an epoch boundary on it. Call ``wait()`` before process
-    exit (the preemption path and ``Trainer.fit``'s return do)."""
+    exit (the preemption path and ``Trainer.fit``'s return do).
+
+    Consecutive ``save`` calls serialize on the one checkpointer (each
+    blocks on the previous background write), so a group of same-payload
+    epoch-boundary tags (best-train / epoch-N / last) should go through
+    ``save_many``: one real orbax write, then hard-linked directory
+    copies for the sibling tags — all in the background under
+    ``async_save`` (ADVICE r4)."""
 
     def __init__(self, root: str, async_save: bool = False):
         self.root = os.path.abspath(root)
         self.async_save = async_save
         os.makedirs(self.root, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
+        self._fanout: threading.Thread | None = None
 
     def path(self, tag: str) -> str:
         return os.path.join(self.root, tag)
 
     def save(self, state: TrainState, tag: str) -> None:
         # serialize with any in-flight background save: orbax rejects
-        # overlapping saves on one checkpointer
-        self._ckptr.wait_until_finished()
+        # overlapping saves on one checkpointer (and a pending fanout
+        # reads the directory a new save would overwrite)
+        self.wait()
         self._ckptr.save(self.path(tag), state, force=True)
         if not self.async_save:
             self._ckptr.wait_until_finished()
 
+    def save_many(self, state: TrainState, tags: list[str]) -> None:
+        """Save one payload under several tags: a single orbax write for
+        ``tags[0]``, then hard-linked copies of the committed directory
+        for the rest. Under ``async_save`` the copies run on the same
+        background timeline (after the write lands), so the whole group
+        is non-blocking instead of only its last member."""
+        if not tags:
+            return
+        primary, rest = tags[0], tags[1:]
+        self.save(state, primary)
+        if not rest:
+            return
+
+        src = self.path(primary)
+
+        def _fanout():
+            # the orbax write must be durably committed before linking
+            self._ckptr.wait_until_finished()
+            for tag in rest:
+                dst = self.path(tag)
+                tmp = f"{dst}.fanout-tmp"
+                shutil.rmtree(tmp, ignore_errors=True)
+                _link_tree(src, tmp)
+                shutil.rmtree(dst, ignore_errors=True)
+                os.rename(tmp, dst)
+
+        if self.async_save:
+            self._fanout = threading.Thread(target=_fanout, daemon=True)
+            self._fanout.start()
+        else:
+            _fanout()
+
     def wait(self) -> None:
-        """Block until any in-flight async save is durably on disk."""
+        """Block until any in-flight async save (and tag fanout) is
+        durably on disk."""
         self._ckptr.wait_until_finished()
+        if self._fanout is not None:
+            self._fanout.join()
+            self._fanout = None
 
     def restore(self, template: TrainState, tag: str) -> TrainState:
         """Restore into the structure of ``template`` (an abstract or

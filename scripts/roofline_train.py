@@ -65,7 +65,10 @@ def main():
     cfg = Config(PRESET)
     cfg.model.decoder.compute_dtype = args.dtype
     if SMOKE:
-        # shrink to CPU-tractable widths, keep the real wiring
+        # shrink to CPU-tractable widths, keep the real wiring.
+        # Style-encoder dims must track the shrink: tv/lf0 c_out ==
+        # enc n_channels (style fusion), 2·tiv c_out == dec mid channels
+        # (TIVAdaptor time token, models/ref_encoder.py:267)
         cfg.model.encoder.n_channels = 24
         cfg.model.encoder.filter_channels = 32
         cfg.model.encoder.filter_channels_dp = 16
@@ -75,6 +78,14 @@ def main():
         cfg.model.dit.depth = 1
         cfg.model.dit.conv_pos = 4
         cfg.model.dit.conv_pos_groups = 2
+        for enc_key in ("tv_encoder", "lf0_encoder"):
+            cfg.model[enc_key].c_h = 16
+            cfg.model[enc_key].c_out = 24
+            cfg.model[enc_key].c_out_g = 24
+            cfg.model[enc_key].num_layer = 2
+        cfg.model.tiv_encoder.c_h = 16
+        cfg.model.tiv_encoder.c_out = 8
+        cfg.model.tiv_encoder.num_layer = 2
     model = build_model(cfg)
     out_size = 16 if SMOKE else fix_len_compatibility(
         int(cfg.train.fix_len * cfg.preprocess.sample_rate
@@ -83,43 +94,47 @@ def main():
     print(f"backend={jax.default_backend()} dtype={args.dtype} "
           f"out_size={out_size}", flush=True)
 
-    compiled, cost, states, datas = {}, {}, {}, {}
+    # params are batch-size independent: init ONCE (each create_train_state
+    # over the degraded remote-compile tunnel costs minutes; the first run
+    # of this script burned its whole timeout on 3x init+compile and died
+    # before timing — hence also: time each config IMMEDIATELY after its
+    # compile so partial results survive a timeout)
+    state, tx = create_train_state(
+        model, synthetic_batch(batches[0], args.frames),
+        lr=float(cfg.train.lr),
+        max_grad=float(cfg.train.get("max_grad", 5.0)),
+        out_size=out_size)
+    step = jax.jit(
+        make_train_step(
+            model, tx, out_size=out_size,
+            ema_decay=float(cfg.train.get("ema_decay", 0.99999))))
+
+    print(f"\n=== v5e train-step roofline ({args.frames}-frame bucket, "
+          f"out_size {out_size}, {args.dtype}) ===", flush=True)
     for b in batches:
         batch = synthetic_batch(b, args.frames)
-        state, tx = create_train_state(
-            model, batch, lr=float(cfg.train.lr),
-            max_grad=float(cfg.train.get("max_grad", 5.0)),
-            out_size=out_size)
-        step = jax.jit(
-            make_train_step(
-                model, tx, out_size=out_size,
-                ema_decay=float(cfg.train.get("ema_decay", 0.99999))))
         t0 = time.time()
         exe = step.lower(state, batch).compile()
         ca = exe.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0] if ca else {}
-        compiled[b], cost[b] = exe, ca or {}
-        states[b], datas[b] = state, batch
+        ca = ca or {}
         print(f"b={b}: compiled in {time.time()-t0:.0f}s "
-              f"flops={cost[b].get('flops', 0)/1e12:.3f} T "
-              f"bytes={cost[b].get('bytes accessed', 0)/1e9:.2f} GB",
+              f"flops={ca.get('flops', 0)/1e12:.3f} T "
+              f"bytes={ca.get('bytes accessed', 0)/1e9:.2f} GB",
               flush=True)
-
-    times = {b: [] for b in batches}
-    for _ in range(args.rounds):
-        for b, exe in compiled.items():
+        times = []
+        _, m = exe(state, batch)
+        float(m["total_loss"])  # warm dispatch before timing
+        for _ in range(args.rounds):
             t0 = time.perf_counter()
-            _, metrics = exe(states[b], datas[b])
+            _, metrics = exe(state, batch)
             float(metrics["total_loss"])  # force remote completion
-            times[b].append(time.perf_counter() - t0)
+            times.append(time.perf_counter() - t0)
 
-    print(f"\n=== v5e train-step roofline ({args.frames}-frame bucket, "
-          f"out_size {out_size}, {args.dtype}) ===")
-    for b in batches:
-        flops = float(cost[b].get("flops", 0))
-        byts = float(cost[b].get("bytes accessed", 0))
-        wall = max(float(np.median(times[b])) - DISPATCH_S, 1e-9)
+        flops = float(ca.get("flops", 0))
+        byts = float(ca.get("bytes accessed", 0))
+        wall = max(float(np.median(times)) - DISPATCH_S, 1e-9)
         t_fl = flops / PEAK_BF16
         t_bw = byts / HBM_GBPS
         bound = "bandwidth" if t_bw > t_fl else "compute"

@@ -68,9 +68,31 @@ def main():
     assert gbatch["x"].shape[0] == 8  # global batch across both hosts
     _, metrics = step(pstate, gbatch)
     total = float(metrics["total_loss"])
+
+    # dp2×tp2 across the process boundary (VERDICT r4 item 5): params
+    # tp-sharded over a mesh whose 'tp' pairs live inside one host but
+    # whose 'dp' axis spans both — the gradient all-reduce AND the
+    # Megatron activation collectives ride the gloo backend.
+    from dex_tts_tpu.parallel import tp_state_shardings
+
+    mesh_tp = make_mesh(8, tp_size=2)
+    shardings = tp_state_shardings(state, mesh_tp)
+    pstate_tp = jax.device_put(state, shardings)
+    step_tp = make_parallel_train_step(
+        make_train_step(model, tx, out_size=16, ema_decay=0.99),
+        mesh_tp,
+        donate=False,
+        state_shardings=shardings,
+    )
+    gbatch_tp = assemble_global_batch(local, mesh_tp)
+    _, metrics_tp = step_tp(pstate_tp, gbatch_tp)
+    tp_total = float(metrics_tp["total_loss"])
+
     with open(out_path, "w") as f:
-        json.dump({"process": process_id, "total_loss": total}, f)
-    print(f"worker {process_id}: total_loss={total}", flush=True)
+        json.dump({"process": process_id, "total_loss": total,
+                   "tp_total_loss": tp_total}, f)
+    print(f"worker {process_id}: total_loss={total} tp={tp_total}",
+          flush=True)
 
 
 if __name__ == "__main__":

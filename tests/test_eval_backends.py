@@ -166,9 +166,11 @@ def test_speaker_scorer_backend_validation():
         SpeakerScorer(backend="builtin")
     with pytest.raises(ValueError, match="unknown speaker backend"):
         SpeakerScorer(backend="ge2e")
-    # resemblyzer is absent in this image: forcing it is unavailable,
+    # resemblyzer is absent in this image: FORCING it raises (ADVICE r4 —
+    # an explicitly requested backend must not degrade quietly);
     # auto without weights falls through to unavailable (cosine -> None)
-    assert SpeakerScorer(backend="resemblyzer").available is False
+    with pytest.raises(ImportError, match="forced"):
+        SpeakerScorer(backend="resemblyzer")
     auto = SpeakerScorer()
     assert auto.available is False
     assert auto.cosine(np.zeros(100, np.float32),

@@ -54,12 +54,19 @@ def test_two_process_distributed_train_step(tmp_path):
     for p, log in zip(procs, logs):
         assert p.returncode == 0, log[-3000:]
 
-    losses = []
+    losses, tp_losses = [], []
     for path in outs:
         with open(path) as f:
-            losses.append(json.load(f)["total_loss"])
+            rec = json.load(f)
+        losses.append(rec["total_loss"])
+        tp_losses.append(rec["tp_total_loss"])
     # both hosts computed the same (psum-reduced) global loss
     assert np.isclose(losses[0], losses[1], rtol=1e-5), losses
+    # ... dp2×tp2 across the process boundary agrees on both hosts and
+    # with the pure-dp step (VERDICT r4 item 5: tp over gloo)
+    assert np.isclose(tp_losses[0], tp_losses[1], rtol=1e-5), tp_losses
+    assert np.isclose(tp_losses[0], losses[0], rtol=1e-4), (
+        tp_losses[0], losses[0])
 
     # ... and it matches the single-process step on the concatenated batch
     from dex_tts_tpu.data import BucketBatcher, TextMelDataset

@@ -97,6 +97,32 @@ def test_preprocess_libritts_prepare_align(tmp_path):
     prepare_align("LibriTTS", cfg2)
     assert sorted(os.listdir(cfg2.raw_path)) == ["19", "26"]
 
+    # ADVICE r4: a stray numeric-named FILE at the corpus root must not
+    # flip the layout detection to "root is a subset dir" (which silently
+    # processed nothing from the real subset dirs)
+    with open(os.path.join(corpus, "1234"), "w") as f:
+        f.write("stray file\n")
+    cfg3 = PreprocessConfig(
+        corpus_path=corpus,
+        raw_path=os.path.join(tmp_path, "raw3"),
+        out_path=os.path.join(tmp_path, "pre3"),
+    )
+    prepare_align("LibriTTS", cfg3)
+    assert sorted(os.listdir(cfg3.raw_path)) == ["19", "26"]
+
+    # neither layout → loud warning, nothing written
+    import pytest
+
+    empty = os.path.join(tmp_path, "empty")
+    os.makedirs(empty)
+    cfg4 = PreprocessConfig(
+        corpus_path=empty,
+        raw_path=os.path.join(tmp_path, "raw4"),
+        out_path=os.path.join(tmp_path, "pre4"),
+    )
+    with pytest.warns(UserWarning, match="neither LibriTTS layout"):
+        prepare_align("LibriTTS", cfg4)
+
 
 def test_filelist_unseen_speakers(tmp_path):
     rows = [
