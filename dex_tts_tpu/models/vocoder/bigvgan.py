@@ -26,7 +26,21 @@ from ...ops.snake import (  # noqa: F401  (re-exported for tests/parity)
     snake_antialias,
     snake_antialias_polyphase,
 )
+from .packing import PackedTimeConv
 from .upsample import SubpixelConvTranspose
+
+
+def _resolve_conv_impl(conv_impl: str, stage_dtype: str) -> str:
+    """"auto" → packed on TPU when the stage is not float32 (the f32
+    default keeps the plain lowering for parity, same policy as
+    snake_impl); explicit "plain"/"packed" pass through."""
+    if conv_impl != "auto":
+        return conv_impl
+    import jax
+
+    if jax.default_backend() == "tpu" and stage_dtype != "float32":
+        return "packed"
+    return "plain"
 
 
 @dataclass(frozen=True)
@@ -76,6 +90,14 @@ class BigVGANConfig:
     # depth-to-space interleave; identical math and params — see
     # vocoder/upsample.py).
     upsample_impl: str = "conv_transpose"
+    # AMP-block conv lowering: "auto" picks the space-to-channel PACKED
+    # block-Toeplitz conv (vocoder/packing.py) on TPU when dtype is not
+    # float32 — measured 2-4.1x per conv at the late stages' C=24..48
+    # (scripts/perf_lane_packing.py; XLA's plain conv runs at ~7-25% of
+    # the bandwidth ideal there). Same math to float tolerance, identical
+    # params. "packed" forces it everywhere (incl. f32 — also ~2-4x, at
+    # ~1e-4 rel deviation from the plain lowering); "plain" forces off.
+    conv_impl: str = "auto"
 
 
 def upsample2x_antialias(x, ratio: int = 2, kernel_size: int | None = None):
@@ -159,34 +181,32 @@ class AMPBlock1(nn.Module):
     use_pallas: bool = False
     taps: int = 12
     impl: str | None = None
+    conv_impl: str = "plain"
 
     @nn.compact
     def __call__(self, x):
-        dtype = jnp.dtype(self.dtype)
         for i, d in enumerate(self.dilations):
             h = SnakeActivation1d(
                 self.channels, self.variant, self.logscale, self.use_pallas,
                 self.taps, self.impl, name=f"act1_{i}"
             )(x)
-            pad = (self.kernel_size * d - d) // 2
-            h = nn.Conv(
+            h = PackedTimeConv(
                 self.channels,
-                (self.kernel_size,),
-                kernel_dilation=(d,),
-                padding=[(pad, pad)],
-                dtype=dtype,
+                self.kernel_size,
+                dilation=d,
+                dtype=self.dtype,
+                impl=self.conv_impl,
                 name=f"conv1_{i}",
             )(h)
             h = SnakeActivation1d(
                 self.channels, self.variant, self.logscale, self.use_pallas,
                 self.taps, self.impl, name=f"act2_{i}"
             )(h)
-            pad = (self.kernel_size - 1) // 2
-            h = nn.Conv(
+            h = PackedTimeConv(
                 self.channels,
-                (self.kernel_size,),
-                padding=[(pad, pad)],
-                dtype=dtype,
+                self.kernel_size,
+                dtype=self.dtype,
+                impl=self.conv_impl,
                 name=f"conv2_{i}",
             )(h)
             x = x + h
@@ -206,22 +226,21 @@ class AMPBlock2(nn.Module):
     use_pallas: bool = False
     taps: int = 12
     impl: str | None = None
+    conv_impl: str = "plain"
 
     @nn.compact
     def __call__(self, x):
-        dtype = jnp.dtype(self.dtype)
         for i, d in enumerate(self.dilations[:2]):
             h = SnakeActivation1d(
                 self.channels, self.variant, self.logscale, self.use_pallas,
                 self.taps, self.impl, name=f"act_{i}"
             )(x)
-            pad = (self.kernel_size * d - d) // 2
-            h = nn.Conv(
+            h = PackedTimeConv(
                 self.channels,
-                (self.kernel_size,),
-                kernel_dilation=(d,),
-                padding=[(pad, pad)],
-                dtype=dtype,
+                self.kernel_size,
+                dilation=d,
+                dtype=self.dtype,
+                impl=self.conv_impl,
                 name=f"conv_{i}",
             )(h)
             x = x + h
@@ -280,7 +299,9 @@ class BigVGANGenerator(nn.Module):
                 out = block_cls(
                     ch, rk, tuple(rd), cfg.activation, cfg.snake_logscale,
                     str(stage_dtypes[i]), cfg.snake_pallas, cfg.snake_taps,
-                    impl, name=f"resblock_{i}_{j}",
+                    impl, conv_impl=_resolve_conv_impl(
+                        cfg.conv_impl, str(stage_dtypes[i])
+                    ), name=f"resblock_{i}_{j}",
                 )(x)
                 acc = out if acc is None else acc + out
             x = acc / len(cfg.resblock_kernel_sizes)

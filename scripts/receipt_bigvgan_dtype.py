@@ -172,7 +172,7 @@ def main():
     wav_bf16 = run(gen_bf16)
 
     def mel_of(w):
-        return np.asarray(mel(jnp.asarray(w)[None])[0])
+        return np.asarray(mel(jnp.asarray(w)[None])[0])[:, :, :n_frames]
 
     m_f32, m_bf16 = mel_of(wav_f32), mel_of(wav_bf16)
     m_tgt = np.asarray(mel_target)

@@ -42,7 +42,16 @@ DISPATCH_S = 0.030     # measured remote-tunnel per-dispatch overhead
 
 VARIANTS = {
     "f32": BigVGANConfig(num_mels=80),
-    "bf16_all": BigVGANConfig(num_mels=80, dtype="bfloat16"),
+    # plain convs (the r4 shipped bf16 config)
+    "bf16_fold": BigVGANConfig(
+        num_mels=80, dtype="bfloat16", conv_impl="plain"
+    ),
+    # r5: space-to-channel packed AMP convs (vocoder/packing.py) —
+    # measured 2-4.1x per conv at the late stages' C=24..48
+    "bf16_fold_packed": BigVGANConfig(
+        num_mels=80, dtype="bfloat16", conv_impl="packed"
+    ),
+    "f32_packed": BigVGANConfig(num_mels=80, conv_impl="packed"),
 }
 
 
