@@ -72,6 +72,10 @@ def main():
     p.add_argument("--upsample_impl", default="conv_transpose",
                    choices=["conv_transpose", "subpixel"],
                    help="vocoder upsampler lowering (see vocoder/upsample.py)")
+    p.add_argument("--conv_impl", default="auto",
+                   choices=["auto", "plain", "packed"],
+                   help="BigVGAN AMP conv lowering (vocoder/packing.py): "
+                        "auto = packed iff TPU and stage dtype != f32")
     p.add_argument("--vocoder_dtype", default="auto",
                    choices=["auto", "float32", "bfloat16"],
                    help="vocoder compute dtype; 'auto' picks the measured "
@@ -110,6 +114,7 @@ def main():
             BigVGANConfig(
                 num_mels=80, snake_impl=args.snake_impl, dtype=voc_dtype,
                 upsample_impl=args.upsample_impl,
+                conv_impl=args.conv_impl,
             )
         )
     else:

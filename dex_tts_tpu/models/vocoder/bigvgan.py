@@ -31,15 +31,16 @@ from .upsample import SubpixelConvTranspose
 
 
 def _resolve_conv_impl(conv_impl: str, stage_dtype: str) -> str:
-    """"auto" → packed on TPU when the stage is not float32 (the f32
-    default keeps the plain lowering for parity, same policy as
-    snake_impl); explicit "plain"/"packed" pass through."""
+    """"auto" → plain. The packed lowering wins 2-4x per ISOLATED conv
+    (scripts/perf_lane_packing.py) but loses at whole-generator level
+    (roofline_bigvgan 2026-08-20: bf16 1225→1370 ms, f32 1478→1944 —
+    the per-conv pack/unpack reshapes become real relayouts against the
+    conv-operand layouts, +75 GB bf16 / +292 GB f32 of accessed bytes in
+    the cost analysis). Kept as an opt-in "packed" for configurations
+    where the activation can stay packed across a stage; "auto" stays
+    plain until that exists."""
     if conv_impl != "auto":
         return conv_impl
-    import jax
-
-    if jax.default_backend() == "tpu" and stage_dtype != "float32":
-        return "packed"
     return "plain"
 
 
@@ -90,13 +91,13 @@ class BigVGANConfig:
     # depth-to-space interleave; identical math and params — see
     # vocoder/upsample.py).
     upsample_impl: str = "conv_transpose"
-    # AMP-block conv lowering: "auto" picks the space-to-channel PACKED
-    # block-Toeplitz conv (vocoder/packing.py) on TPU when dtype is not
-    # float32 — measured 2-4.1x per conv at the late stages' C=24..48
-    # (scripts/perf_lane_packing.py; XLA's plain conv runs at ~7-25% of
-    # the bandwidth ideal there). Same math to float tolerance, identical
-    # params. "packed" forces it everywhere (incl. f32 — also ~2-4x, at
-    # ~1e-4 rel deviation from the plain lowering); "plain" forces off.
+    # AMP-block conv lowering. "packed" = space-to-channel block-Toeplitz
+    # conv (vocoder/packing.py): 2-4.1x per ISOLATED conv at the late
+    # stages' C=24..48 (scripts/perf_lane_packing.py) but measured a NET
+    # LOSS at whole-generator level (per-conv pack/unpack relayouts:
+    # bf16 1225→1370 ms, f32 1478→1944, roofline_bigvgan 2026-08-20), so
+    # "auto" resolves to "plain". Opt-in only until a whole-stage packed
+    # pipeline (packed snake + convs, one pack/unpack per stage) exists.
     conv_impl: str = "auto"
 
 

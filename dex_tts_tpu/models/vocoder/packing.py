@@ -20,6 +20,17 @@ Measured per-op speedups at batch 16: C=24 (f=8): 4.0× f32 / 4.1× bf16;
 C=48 (f=2 or 4): 2.0–2.1× both dtypes. FLOPs grow ~K_t·f/k ≈ 3–8×, but
 these convs sit 8–25× below the MXU roofline, so the trade is free.
 
+**Whole-generator verdict (roofline_bigvgan 2026-08-20): a NET LOSS —
+bf16 1225→1370 ms, f32 1478→1944 ms.** In-graph, the pack/unpack
+reshapes around each conv are not free: against the conv-operand tiled
+layouts they become real relayout copies (+75 GB bf16 / +292 GB f32 of
+post-fusion bytes accessed), which out-eat the per-conv win. The
+isolated probe had the activation born and consumed in the packed
+layout — exactly the condition a future whole-stage packed pipeline
+(packed snake + convs, ONE pack/unpack per stage) would restore. Until
+that exists the lowering is opt-in (`conv_impl="packed"`), and `auto`
+resolves to plain.
+
 `PackedTimeConv` is a drop-in for `nn.Conv(features, (k,),
 kernel_dilation=(d,), padding=SAME)` with IDENTICAL parameter shapes and
 names ({kernel: (k, C_in, C_out), bias: (C_out,)}) — checkpoints and
@@ -47,25 +58,42 @@ def pick_pack(c: int, t: int, lanes: int = 128) -> int:
     return f if t % f == 0 else 1
 
 
-def packed_kernel(w: jnp.ndarray, f: int, dilation: int = 1):
-    """Block-Toeplitz kernel K with conv(pack(x), K) == pack(conv(x, w))
-    for a SAME-padded stride-1 conv. w: (k, C_in, C_out) →
-    (K, pad_left) with K: (K_t, f·C_in, f·C_out). Built with static
-    indices — traces to K_t fixed slabs, hoisted by XLA as a loop
-    constant of a few hundred KB."""
-    k, c_in, c_out = w.shape
+import functools
+
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _placement(k: int, f: int, dilation: int):
+    """Static 0/1 tensor P: K[q, i·C+ci, j·C+co] = Σ_a P[q,i,j,a]·w[a,ci,co].
+    Cached per (k, f, d) — a few KB of host constant."""
     pad = (k * dilation - dilation) // 2
     offs = [(j, a, j + a * dilation - pad) for j in range(f) for a in range(k)]
     qmin = min(o // f for _, _, o in offs)
     qmax = max(o // f for _, _, o in offs)
     kt = qmax - qmin + 1
-    K = jnp.zeros((kt, f * c_in, f * c_out), w.dtype)
+    P = np.zeros((kt, f, f, k), np.float32)
     for j, a, o in offs:
-        q, i = o // f - qmin, o % f
-        K = K.at[q, i * c_in:(i + 1) * c_in, j * c_out:(j + 1) * c_out].add(
-            w[a]
-        )
-    return K, -qmin
+        P[o // f - qmin, o % f, j, a] = 1.0
+    return P, -qmin
+
+
+def packed_kernel(w: jnp.ndarray, f: int, dilation: int = 1):
+    """Block-Toeplitz kernel K with conv(pack(x), K) == pack(conv(x, w))
+    for a SAME-padded stride-1 conv. w: (k, C_in, C_out) →
+    (K, pad_left) with K: (K_t, f·C_in, f·C_out).
+
+    Assembled as ONE einsum against a static placement tensor — the
+    first version used ~k·f dynamic-update-slices per conv, and ~3000 of
+    those tiny in-graph ops made the whole-generator packed variant
+    SLOWER than plain (roofline_bigvgan r5: f32 1478→1952 ms) despite
+    the 2-4x isolated-op win."""
+    k, c_in, c_out = w.shape
+    P, pad_left = _placement(k, f, dilation)
+    K = jnp.einsum(
+        "qija,aco->qicjo", jnp.asarray(P, w.dtype), w
+    ).reshape(P.shape[0], f * c_in, f * c_out)
+    return K, pad_left
 
 
 class PackedTimeConv(nn.Module):
@@ -93,11 +121,10 @@ class PackedTimeConv(nn.Module):
         dtype = jnp.dtype(self.dtype)
         impl = self.impl
         if impl == "auto":
-            # packed pays on TPU whenever the channel count underfills
-            # the 128 lanes (measured 2-4x at C=24..48)
-            impl = (
-                "packed" if jax.default_backend() == "tpu" else "plain"
-            )
+            # plain: the isolated 2-4x win does not survive the per-conv
+            # pack/unpack relayouts at whole-generator level (see
+            # bigvgan._resolve_conv_impl and the module docstring)
+            impl = "plain"
         f = (
             pick_pack(max(c_in, self.features), t)
             if impl == "packed"

@@ -262,7 +262,48 @@ def _fold_factor(c: int):
     return None
 
 
-def _snake_fold_kernel(x_ref, a_ref, b_ref, o_ref, *, f, c, lf, hl, rb, k):
+# sin²(t) = 0.5 − 0.5·cos(2t), cos(2πv) as a degree-7 polynomial in v²
+# after range reduction v = t/π − round(t/π) ∈ [−½, ½]. Max abs error
+# 2e-10 in f64, 8.8e-6 evaluated in f32 (range-reduction rounding) —
+# ~500× below bf16 output rounding (~4e-3), so the bf16 fold path uses
+# it; f32 keeps exact jnp.sin. Why: the r5 profile showed the fold
+# custom-calls are VPU-COMPUTE-bound (6.6 ms/call vs a 0.2 ms bandwidth
+# ideal, 54% of the whole bf16 generator), and XLA's precise sin is a
+# large share of the per-element op count. ~10 VPU ops replace it.
+_SIN2_COEF = (
+    0.9999999999193508, -19.739208758208584, 64.93939011340913,
+    -85.45668538180254, 60.24246470872289, -26.406761080377983,
+    7.806608463960106, -1.4609479689305238,
+)
+
+
+# trace-time override for A/Bs and escape hatch: None = auto (poly iff
+# bf16 storage), True/False force. See set_snake_fast_sin.
+_FAST_SIN_OVERRIDE: bool | None = None
+
+
+def set_snake_fast_sin(value: bool | None) -> None:
+    """Force (True/False) or restore auto (None) the polynomial sin² in
+    the fold kernel. Applies at trace time."""
+    global _FAST_SIN_OVERRIDE
+    _FAST_SIN_OVERRIDE = value
+
+
+def _sin2_fast(t):
+    """Polynomial sin²(t) (see _SIN2_COEF). Pure mul/round/FMA — lowers
+    inside pallas kernels and plain XLA alike."""
+    v = t * jnp.float32(1.0 / np.pi)
+    v = v - jnp.round(v)
+    z = v * v
+    c = jnp.float32(_SIN2_COEF[-1])
+    for a in _SIN2_COEF[-2::-1]:
+        c = c * z + jnp.float32(a)
+    return jnp.float32(0.5) - jnp.float32(0.5) * c
+
+
+def _snake_fold_kernel(
+    x_ref, a_ref, b_ref, o_ref, *, f, c, lf, hl, rb, k, fast_sin=False
+):
     """One (batch, row-block) grid step in the folded (T/f, f·C) layout.
 
     x_ref: (1, 1, RB, lf) — folded rows [r0-hl, r0+rb+hr) (halo rows,
@@ -307,8 +348,9 @@ def _snake_fold_kernel(x_ref, a_ref, b_ref, o_ref, *, f, c, lf, hl, rb, k):
     xs = [tshift(x, a) for a in range(q2)]
     p0 = sum(f0[a] * xs[a] for a in range(q2))
     p1 = sum(f1[a] * xs[a] for a in range(q2))
-    s0 = p0 + ib * jnp.sin(p0 * al) ** 2
-    s1 = p1 + ib * jnp.sin(p1 * al) ** 2
+    sin2 = _sin2_fast if fast_sin else (lambda t: jnp.sin(t) ** 2)
+    s0 = p0 + ib * sin2(p0 * al)
+    s1 = p1 + ib * sin2(p1 * al)
 
     # y[t] = Σ_a ge[a]·s1[t+a-k/4] + go[a]·s0[t+a-k/4+1]; with the S
     # alignments above both terms land at the same local offset.
@@ -321,7 +363,13 @@ def _snake_fold_kernel(x_ref, a_ref, b_ref, o_ref, *, f, c, lf, hl, rb, k):
 
 
 def snake_antialias_fold(
-    x, alpha, inv_beta, *, kernel_size: int = 12, interpret: bool = False
+    x,
+    alpha,
+    inv_beta,
+    *,
+    kernel_size: int = 12,
+    interpret: bool = False,
+    fast_sin: bool | None = None,
 ):
     """Fused anti-aliased snake in the folded full-lane layout.
 
@@ -361,8 +409,16 @@ def snake_antialias_fold(
     af = jnp.tile(jnp.asarray(alpha, x.dtype), f).reshape(1, lf)
     bf = jnp.tile(jnp.asarray(inv_beta, x.dtype), f).reshape(1, lf)
 
+    if fast_sin is None:
+        if _FAST_SIN_OVERRIDE is not None:
+            fast_sin = _FAST_SIN_OVERRIDE
+        else:
+            # poly sin² only where its ≤1e-5 deviation vanishes under
+            # the output rounding; f32 keeps exact sin (parity path)
+            fast_sin = x.dtype == jnp.bfloat16
     kernel = functools.partial(
-        _snake_fold_kernel, f=f, c=c, lf=lf, hl=hl, rb=rb, k=k
+        _snake_fold_kernel, f=f, c=c, lf=lf, hl=hl, rb=rb, k=k,
+        fast_sin=fast_sin,
     )
     y = pl.pallas_call(
         kernel,

@@ -142,17 +142,39 @@ def main():
         err = np.abs(o - ref).max()
         print(f"max|{name} - grouped| = {err:.3e}")
 
-    acc = {n: [] for n in fns}
+    # scan-amortized timing (r5): these 4-10 ms ops are noise-dominated
+    # by the ~30 ms remote dispatch when timed one dispatch at a time;
+    # N_ITERS chained applications inside one jit (scan iterations can't
+    # fuse with each other) give a clean per-application figure
+    N_ITERS = 16
+
+    def looped(fn):
+        def body(h, _):
+            return fn(h, w), ()
+
+        return jax.jit(lambda a: jax.lax.scan(body, a, None,
+                                              length=N_ITERS)[0])
+
+    lfns = {}
+    for n, fn in VARIANTS.items():
+        lf = looped(fn)
+        t0 = time.time()
+        float(jnp.sum(lf(x)))
+        print(f"compiled looped {n} in {time.time()-t0:.0f}s", flush=True)
+        lfns[n] = lf
+    acc = {n: [] for n in lfns}
     for r in range(rounds):
-        for n, f in fns.items():
+        for n, f in lfns.items():
             t0 = time.perf_counter()
-            float(jnp.sum(f(x, w)))
+            float(jnp.sum(f(x)))
             acc[n].append(time.perf_counter() - t0)
-    print(f"\n=== medians over {rounds} rounds "
-          f"(net of {DISPATCH_S*1e3:.0f} ms dispatch; true-math "
-          f"{FLOPS/1e9:.1f} GF) ===")
+    print(f"\n=== per-application medians over {rounds} rounds x "
+          f"{N_ITERS} chained (net of {DISPATCH_S*1e3:.0f} ms dispatch; "
+          f"true-math {FLOPS/1e9:.1f} GF) ===")
     for n, ts in acc.items():
-        net = max(float(np.median(ts)) - DISPATCH_S, 1e-9)
+        net = max(
+            (float(np.median(ts)) - DISPATCH_S) / N_ITERS, 1e-9
+        )
         tfs = FLOPS / net / 1e12
         print(f"{n:10s} {net*1e3:7.2f} ms  {tfs:6.1f} TF/s "
               f"({tfs/197*100:4.1f}% peak, {tfs/(197*0.25)*100:5.1f}% of "

@@ -57,13 +57,26 @@ VARIANTS = {
 
 def main():
     argv = [a for a in sys.argv[1:] if a != "--smoke"]
+    no_snake = "--no-snake" in argv
+    argv = [a for a in argv if a != "--no-snake"]
+    only = None
+    if "--variants" in argv:
+        i = argv.index("--variants")
+        only = argv[i + 1].split(",")
+        del argv[i:i + 2]
+        for name in only:
+            assert name in VARIANTS, (name, list(VARIANTS))
     rounds = int(argv[0]) if argv else (1 if SMOKE else 5)
+    if only:
+        for name in list(VARIANTS):
+            if name not in only:
+                del VARIANTS[name]
     print(f"backend={jax.default_backend()} devices={jax.devices()}",
           flush=True)
     rng = np.random.default_rng(0)
     mel = jnp.asarray(rng.standard_normal((B, 80, TY)) * 1.5, jnp.float32)
 
-    base = BigVGANGenerator(VARIANTS["f32"])
+    base = BigVGANGenerator(BigVGANConfig(num_mels=80))
     params = jax.jit(
         lambda: base.init(jax.random.PRNGKey(0), mel[:1])["params"]
     )()
@@ -109,14 +122,15 @@ def main():
     # bandwidth ceiling, independent of the whole-graph roofline.
     from dex_tts_tpu.ops.snake import snake_antialias
 
-    cfg = VARIANTS["f32"]
-    t_stage, c_stage = TY, cfg.upsample_initial_channel
+    cfg = next(iter(VARIANTS.values()))
     stage_shapes = []
-    for r in cfg.upsample_rates:
-        t_stage, c_stage = t_stage * r, c_stage // 2
-        stage_shapes.append((t_stage, c_stage))
-    print(f"\n=== isolated snake_antialias per stage shape "
-          f"(B={B}, f32, net of {DISPATCH_S*1e3:.0f} ms dispatch) ===")
+    if not no_snake:
+        t_stage, c_stage = TY, cfg.upsample_initial_channel
+        for r in cfg.upsample_rates:
+            t_stage, c_stage = t_stage * r, c_stage // 2
+            stage_shapes.append((t_stage, c_stage))
+        print(f"\n=== isolated snake_antialias per stage shape "
+              f"(B={B}, f32, net of {DISPATCH_S*1e3:.0f} ms dispatch) ===")
     rng2 = np.random.default_rng(1)
     import functools
 

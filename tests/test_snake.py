@@ -223,3 +223,41 @@ def test_auto_impl_dispatch():
                                            ib.astype(dt))
         np.testing.assert_array_equal(np.asarray(got, np.float32),
                                       np.asarray(ref, np.float32))
+
+
+def test_sin2_fast_polynomial_accuracy():
+    """r5: the bf16 fold path replaces XLA's precise sin with a
+    range-reduced degree-7 polynomial (the fold custom-calls are
+    VPU-compute-bound; sin was a large share of the per-element ops).
+    The poly must sit far below bf16 output rounding (~4e-3)."""
+    from dex_tts_tpu.ops.snake import _sin2_fast
+
+    t = jnp.asarray(
+        np.random.default_rng(0).uniform(-200, 200, 50000), jnp.float32
+    )
+    got = np.asarray(_sin2_fast(t))
+    ref = np.sin(np.asarray(t, np.float64)) ** 2
+    assert np.abs(got - ref).max() < 5e-5
+
+    # fold kernel with fast_sin=True (interpret) vs exact polyphase:
+    # identical to bf16 working precision
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 256, 32)), jnp.bfloat16)
+    al = jnp.asarray(rng.standard_normal((32,)) * 0.3, jnp.float32)
+    ib = jnp.asarray(rng.standard_normal((32,)) * 0.3, jnp.float32)
+    from dex_tts_tpu.ops.snake import (
+        snake_antialias_fold,
+        snake_antialias_polyphase,
+    )
+
+    fast = np.asarray(
+        snake_antialias_fold(x, al, ib, interpret=True, fast_sin=True),
+        np.float32,
+    )
+    exact = np.asarray(
+        snake_antialias_polyphase(
+            x.astype(jnp.float32), al, ib
+        ),
+        np.float32,
+    )
+    assert np.abs(fast - exact).max() < 0.05  # bf16 storage rounding
