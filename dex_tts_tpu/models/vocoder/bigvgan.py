@@ -30,6 +30,17 @@ from .packing import PackedTimeConv
 from .upsample import SubpixelConvTranspose
 
 
+# The reference initializes every upsampler / resblock conv / conv_post
+# with normal(0, 0.01) (reference: DEX-TTS/bigvgan/models.py:19-22,
+# 48,58,106,181-183; hifigan/models.py:10-13). This is load-bearing at
+# full scale: with flax's default lecun init the 19 additive snakes blow
+# the pre-tanh activations up and the generator is born SATURATED
+# (93% |out|>0.99 at init) — tanh gradients are dead and from-scratch
+# training never recovers (measured r5: 800 supervised overfit steps
+# stuck at wav_l1=1.0, and the GAN receipt collapsed the same way).
+_W_INIT = nn.initializers.normal(0.01)
+
+
 def _resolve_conv_impl(conv_impl: str, stage_dtype: str) -> str:
     """"auto" → plain. The packed lowering wins 2-4x per ISOLATED conv
     (scripts/perf_lane_packing.py) but loses at whole-generator level
@@ -197,6 +208,7 @@ class AMPBlock1(nn.Module):
                 dilation=d,
                 dtype=self.dtype,
                 impl=self.conv_impl,
+                kernel_init=_W_INIT,
                 name=f"conv1_{i}",
             )(h)
             h = SnakeActivation1d(
@@ -208,6 +220,7 @@ class AMPBlock1(nn.Module):
                 self.kernel_size,
                 dtype=self.dtype,
                 impl=self.conv_impl,
+                kernel_init=_W_INIT,
                 name=f"conv2_{i}",
             )(h)
             x = x + h
@@ -242,6 +255,7 @@ class AMPBlock2(nn.Module):
                 dilation=d,
                 dtype=self.dtype,
                 impl=self.conv_impl,
+                kernel_init=_W_INIT,
                 name=f"conv_{i}",
             )(h)
             x = x + h
@@ -291,6 +305,7 @@ class BigVGANGenerator(nn.Module):
                     padding=[(p, p)],
                     transpose_kernel=True,
                     dtype=dtype,
+                    kernel_init=_W_INIT,
                     name=f"up_{i}",
                 )(x)
             acc = None
@@ -311,5 +326,6 @@ class BigVGANGenerator(nn.Module):
             ch, cfg.activation, cfg.snake_logscale, cfg.snake_pallas,
             cfg.snake_taps, impl, name="act_post",
         )(x)
-        x = nn.Conv(1, (7,), padding=[(3, 3)], dtype=dtype, name="conv_post")(x)
+        x = nn.Conv(1, (7,), padding=[(3, 3)], dtype=dtype,
+                kernel_init=_W_INIT, name="conv_post")(x)
         return jnp.tanh(x.astype(jnp.float32))[:, :, 0]

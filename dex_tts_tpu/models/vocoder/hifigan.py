@@ -22,6 +22,12 @@ from dex_tts_tpu.models.vocoder.upsample import SubpixelConvTranspose
 
 LRELU_SLOPE = 0.1
 
+# reference init for ups / resblock convs / conv_post: normal(0, 0.01)
+# (reference: DEX-TTS/hifigan/models.py:10-13,58,94,146-147). Load-
+# bearing for from-scratch training — flax's default lecun init leaves
+# the deep additive stack born tanh-saturated (see bigvgan.py _W_INIT).
+_W_INIT = nn.initializers.normal(0.01)
+
 
 @dataclass(frozen=True)
 class HiFiGANConfig:
@@ -65,6 +71,7 @@ class ResBlock(nn.Module):
                 kernel_dilation=(d,),
                 padding=[(_same_pad(self.kernel_size, d),) * 2],
                 dtype=dt,
+                kernel_init=_W_INIT,
                 name=f"conv1_{i}",
             )(h)
             h = nn.leaky_relu(h, LRELU_SLOPE)
@@ -73,6 +80,7 @@ class ResBlock(nn.Module):
                 (self.kernel_size,),
                 padding=[(_same_pad(self.kernel_size),) * 2],
                 dtype=dt,
+                kernel_init=_W_INIT,
                 name=f"conv2_{i}",
             )(h)
             x = x + h
@@ -113,6 +121,7 @@ class HiFiGANGenerator(nn.Module):
                     padding=[(p, p)],
                     transpose_kernel=True,
                     dtype=dt,
+                    kernel_init=_W_INIT,
                     name=f"up_{i}",
                 )(x)
             acc = None
@@ -127,5 +136,6 @@ class HiFiGANGenerator(nn.Module):
             x = acc / len(cfg.resblock_kernel_sizes)
 
         x = nn.leaky_relu(x.astype(jnp.float32))  # torch default slope 0.01 (models.py:164)
-        x = nn.Conv(1, (7,), padding=[(3, 3)], name="conv_post")(x)
+        x = nn.Conv(1, (7,), padding=[(3, 3)], kernel_init=_W_INIT,
+                    name="conv_post")(x)
         return jnp.tanh(x)[:, :, 0]

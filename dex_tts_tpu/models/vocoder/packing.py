@@ -105,6 +105,7 @@ class PackedTimeConv(nn.Module):
     dilation: int = 1
     dtype: str = "float32"
     impl: str = "auto"  # auto | plain | packed
+    kernel_init: object = nn.initializers.lecun_normal()
 
     @nn.compact
     def __call__(self, x):
@@ -112,7 +113,7 @@ class PackedTimeConv(nn.Module):
         k = self.kernel_size
         kernel = self.param(
             "kernel",
-            nn.initializers.lecun_normal(),
+            self.kernel_init,
             (k, c_in, self.features),
         )
         bias = self.param(

@@ -5,10 +5,17 @@ The previous bf16 quality case was the random-init chaos-floor argument
 an untrained GAN is chaotic through its tanh). This script replaces it
 with a *trained-model* receipt:
 
-1. Overfit-train the full-size BigVGAN generator (real GAN step from
-   train/vocoder.py: MPD+MRD critics, LSGAN + FM + 45·L1-mel) on one
-   deterministic speech-like clip until the mel-L1 collapses — the
-   generator becomes the smooth function a production vocoder is.
+1. Overfit-train the full-size BigVGAN generator on one deterministic
+   speech-like clip until reconstruction converges. Default mode
+   "supervised" (waveform-L1 + mel-L1, plain Adam): on a single clip
+   this memorizes the waveform and yields the smooth generator the
+   receipt needs. `--mode gan` uses the real GAN step from
+   train/vocoder.py (MPD+MRD, LSGAN + FM + 45·L1-mel) — NB at 500
+   steps from scratch the critics crush the generator into tanh
+   saturation (gen≈419, all-±1 output, mel_l1 stuck ~8.2 — measured
+   2026-08-20), which makes the dtype comparison vacuous (saturated
+   outputs are bit-identical in every dtype); the script reports the
+   saturation fraction so a vacuous run is visible.
 2. Resynthesize the clip's mel with identical trained params under
    (a) f32 and (b) bfloat16 + fold snake (the serving knob bench.py's
    ``auto`` picks on TPU), and record
@@ -93,6 +100,9 @@ def main():
     p.add_argument("--segment", type=int, default=1024 if SMOKE else 8192)
     p.add_argument("--batch", type=int, default=2 if SMOKE else 8)
     p.add_argument("--seconds", type=float, default=0.4 if SMOKE else 2.0)
+    p.add_argument("--mode", default="supervised",
+                   choices=["supervised", "gan"])
+    p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--smoke", action="store_true")
     args = p.parse_args()
 
@@ -129,29 +139,71 @@ def main():
         return {"wav": jnp.asarray(segs)}
 
     gen_f32 = BigVGANGenerator(cfg)
-    gen_tx = make_vocoder_optimizer(steps_per_epoch=200)
-    disc_tx = make_vocoder_optimizer(steps_per_epoch=200)
     t0 = time.time()
-    state, gen_tx, disc_tx, (mpd, mrd) = create_vocoder_train_state(
-        gen_f32, sample_batch()["wav"], mel, disc_cfg, gen_tx, disc_tx
-    )
-    step = jax.jit(
-        make_vocoder_train_step(gen_f32, mpd, mrd, gen_tx, disc_tx, mel)
-    )
-    print(f"init in {time.time()-t0:.0f}s", flush=True)
+    if args.mode == "gan":
+        gen_tx = make_vocoder_optimizer(steps_per_epoch=200)
+        disc_tx = make_vocoder_optimizer(steps_per_epoch=200)
+        state, gen_tx, disc_tx, (mpd, mrd) = create_vocoder_train_state(
+            gen_f32, sample_batch()["wav"], mel, disc_cfg, gen_tx, disc_tx
+        )
+        step = jax.jit(
+            make_vocoder_train_step(gen_f32, mpd, mrd, gen_tx, disc_tx, mel)
+        )
+        print(f"init in {time.time()-t0:.0f}s", flush=True)
+        t0 = time.time()
+        for i in range(args.steps):
+            state, metrics = step(state, sample_batch())
+            if i == 0 or (i + 1) % 50 == 0 or i + 1 == args.steps:
+                print(
+                    f"step {i+1}: mel_l1={float(metrics['loss_mel']):.4f} "
+                    f"gen={float(metrics['loss_gen']):.2f} "
+                    f"disc={float(metrics['loss_disc']):.2f} "
+                    f"({time.time()-t0:.0f}s)",
+                    flush=True,
+                )
+        mel_l1_final = float(metrics["loss_mel"])
+        gen_params = state.gen_params
+    else:
+        import optax
 
-    t0 = time.time()
-    for i in range(args.steps):
-        state, metrics = step(state, sample_batch())
-        if i == 0 or (i + 1) % 50 == 0 or i + 1 == args.steps:
-            print(
-                f"step {i+1}: mel_l1={float(metrics['loss_mel']):.4f} "
-                f"gen={float(metrics['loss_gen']):.2f} "
-                f"disc={float(metrics['loss_disc']):.2f} "
-                f"({time.time()-t0:.0f}s)",
-                flush=True,
+        hop_l = mel.hop_length
+
+        @jax.jit
+        def _init(wav):
+            mel_in = mel(wav)[0][:, :, : wav.shape[1] // hop_l]
+            return gen_f32.init(jax.random.PRNGKey(100), mel_in)["params"]
+
+        gen_params = _init(sample_batch()["wav"])
+        tx = optax.adam(args.lr)
+        opt_state = tx.init(gen_params)
+
+        def loss_fn(p, wav):
+            n_fr = wav.shape[1] // hop_l
+            mel_in = mel(wav)[0][:, :, :n_fr]
+            fake = gen_f32.apply({"params": p}, mel_in)
+            l_wav = jnp.mean(jnp.abs(fake - wav))
+            l_mel = jnp.mean(jnp.abs(mel(fake)[0] - mel(wav)[0]))
+            return 10.0 * l_wav + l_mel, (l_wav, l_mel)
+
+        @jax.jit
+        def sup_step(p, o, wav):
+            (_, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(p, wav)
+            upd, o = tx.update(g, o, p)
+            return optax.apply_updates(p, upd), o, aux
+
+        print(f"init in {time.time()-t0:.0f}s", flush=True)
+        t0 = time.time()
+        for i in range(args.steps):
+            gen_params, opt_state, (l_wav, l_mel) = sup_step(
+                gen_params, opt_state, sample_batch()["wav"]
             )
-    mel_l1_final = float(metrics["loss_mel"])
+            if i == 0 or (i + 1) % 50 == 0 or i + 1 == args.steps:
+                print(
+                    f"step {i+1}: wav_l1={float(l_wav):.4f} "
+                    f"mel_l1={float(l_mel):.4f} ({time.time()-t0:.0f}s)",
+                    flush=True,
+                )
+        mel_l1_final = float(l_mel)
 
     # ---- resynthesis with the TRAINED params, f32 vs bf16(+fold) ----
     n_frames = len(clip) // hop
@@ -162,7 +214,7 @@ def main():
         f = jax.jit(
             lambda p, m: generator.apply({"params": p}, m)
         )
-        out = f(state.gen_params, mel_target)
+        out = f(gen_params, mel_target)
         return np.asarray(out, np.float32)[0]
 
     wav_f32 = run(gen_f32)
@@ -180,9 +232,12 @@ def main():
     snr_db = 10 * np.log10(
         float(np.sum(wav_f32**2)) / max(float(np.sum(err**2)), 1e-20)
     )
+    sat = float(np.mean(np.abs(wav_f32) > 0.99))
     out = {
         "metric": "BigVGAN bf16-vs-f32 on TRAINED generator "
-                  f"(overfit {args.steps} GAN steps, mel_l1 {mel_l1_final:.4f})",
+                  f"(overfit {args.steps} {args.mode} steps, "
+                  f"mel_l1 {mel_l1_final:.4f})",
+        "saturated_frac": round(sat, 4),
         "snr_db_bf16_vs_f32": round(snr_db, 2),
         "max_abs_wav_err": round(float(np.max(np.abs(err))), 5),
         "mel_mae_f32_vs_target": round(float(np.mean(np.abs(m_f32 - m_tgt))), 5),

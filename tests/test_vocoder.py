@@ -364,3 +364,43 @@ def test_subpixel_upsampler_matches_conv_transpose():
             rtol=0,
             atol=1e-5,
         )
+
+
+def test_generator_reference_init_policy():
+    """r5: ups / resblock convs / conv_post init with normal(0, 0.01)
+    like the reference (DEX-TTS/hifigan/models.py:10-13,146-147;
+    bigvgan/models.py:19-22,181-183) — with flax's default lecun init
+    the deep additive stacks are born tanh-saturated and from-scratch
+    training never recovers (dead gradients; measured r5). conv_pre
+    keeps the default init, as in the reference."""
+    import jax
+
+    from dex_tts_tpu.models.vocoder import (
+        BigVGANConfig,
+        BigVGANGenerator,
+        HiFiGANConfig,
+        HiFiGANGenerator,
+    )
+
+    mel = jnp.zeros((1, 8, 16))
+    hifi = HiFiGANGenerator(HiFiGANConfig(
+        num_mels=8, upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 2),),
+    ))
+    p = hifi.init(jax.random.PRNGKey(0), mel)["params"]
+    assert float(np.std(p["resblock_0_0"]["conv1_0"]["kernel"])) < 0.02
+    assert float(np.std(p["up_0"]["kernel"])) < 0.02
+    assert float(np.std(p["conv_post"]["kernel"])) < 0.02
+    assert float(np.std(p["conv_pre"]["kernel"])) > 0.03  # default init
+
+    big = BigVGANGenerator(BigVGANConfig(
+        num_mels=8, upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 2),),
+    ))
+    pb = big.init(jax.random.PRNGKey(0), mel)["params"]
+    assert float(np.std(pb["resblock_0_0"]["conv1_0"]["kernel"])) < 0.02
+    assert float(np.std(pb["up_0"]["kernel"])) < 0.02
+    assert float(np.std(pb["conv_post"]["kernel"])) < 0.02
+    assert float(np.std(pb["conv_pre"]["kernel"])) > 0.03
