@@ -104,17 +104,21 @@ def load_vocoder(cfg, strict: bool = False):
 
     if cfg.get("vocoder_upsample_impl"):
         arch["upsample_impl"] = str(cfg.vocoder_upsample_impl)
-    if cfg.get("vocoder_dtype"):
-        # "auto" = the measured per-vocoder winner on TPU (bf16 BigVGAN
-        # with the fold snake, f32 HiFi-GAN — docs/PERFORMANCE.md)
-        dt = str(cfg.vocoder_dtype)
-        if dt == "auto":
-            dt = (
-                "bfloat16"
-                if kind == "bigvgan" and jax.default_backend() == "tpu"
-                else "float32"
-            )
-        arch["dtype"] = dt
+    # "auto" (the default when the key is unset) = the measured
+    # per-vocoder winner on TPU: bf16 BigVGAN with fold snake + poly
+    # sin² (quality receipt on a TRAINED generator: 46.4 dB SNR vs f32,
+    # mel-MAE vs target identical to 3 decimals —
+    # scripts/receipt_bigvgan_dtype.py, BENCH_SWEEP r5), f32 HiFi-GAN.
+    # One consistent default across bench.py / serving / this loader
+    # (VERDICT r4 item 3); force "float32" for checkpoint-exact output.
+    dt = str(cfg.get("vocoder_dtype") or "auto")
+    if dt == "auto":
+        dt = (
+            "bfloat16"
+            if kind == "bigvgan" and jax.default_backend() == "tpu"
+            else "float32"
+        )
+    arch["dtype"] = dt
     if kind == "bigvgan":
         # optional TPU knobs (see ops/snake.py, BigVGANConfig)
         if cfg.get("vocoder_snake_pallas"):
