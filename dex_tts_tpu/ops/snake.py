@@ -302,16 +302,22 @@ def _sin2_fast(t):
 
 
 def _snake_fold_kernel(
-    x_ref, a_ref, b_ref, o_ref, *, f, c, lf, hl, rb, k, fast_sin=False
+    x_ref, h_ref, a_ref, b_ref, o_ref, *, f, c, lf, hl, rb, k,
+    fast_sin=False
 ):
     """One (batch, row-block) grid step in the folded (T/f, f·C) layout.
 
-    x_ref: (1, 1, RB, lf) — folded rows [r0-hl, r0+rb+hr) (halo rows,
-           clamped at the global edges; edge samples are recomputed
-           exactly outside the kernel). Lane l holds channel l % c at
-           fold position l // c, so a time shift of +s is a roll by
-           s // f rows plus a lane roll by (s % f)·c with a one-row
-           carry for the lanes that wrap past the fold boundary.
+    x_ref: (1, rb, lf) — this grid step's ALIGNED body rows, read
+           straight from the folded input (no whole-tensor halo copy).
+    h_ref: (1, 1, hl+hr, lf) — the gathered halo rows for this block:
+           rows [r0-hl, r0) then [r0+rb, r0+rb+hr), clamped at the
+           global edges (edge samples are recomputed exactly outside
+           the kernel). The halo gather is ~(hl+hr)/rb ≈ 3% of a pass —
+           the r4 version gathered body+halo into one overlapping array
+           and paid ~2 extra full HBM passes per snake for it.
+    Lane l holds channel l % c at fold position l // f... (time shift
+    of +s = roll by s // f rows plus a lane roll by (s % f)·c with a
+    one-row carry for the lanes that wrap past the fold boundary).
     o_ref: (1, rb, lf).
     """
     q2 = k // 2
@@ -321,7 +327,10 @@ def _snake_fold_kernel(
     # data" on real v5e for bf16) — and the VPU computes in f32 anyway.
     # bf16 is a storage format here: loads/stores keep the bandwidth
     # win, the in-VMEM working set computes in f32.
-    x = x_ref[0, 0].astype(jnp.float32)  # (RB, lf)
+    halo = h_ref[0, 0].astype(jnp.float32)  # (hl+hr, lf)
+    x = jnp.concatenate(
+        [halo[:hl], x_ref[0].astype(jnp.float32), halo[hl:]], axis=0
+    )  # (RB_tot, lf)
     al = a_ref[:].astype(jnp.float32)  # (1, lf)
     ib = b_ref[:].astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
@@ -401,10 +410,19 @@ def snake_antialias_fold(
     nblk = rows // rb
 
     xf = x.reshape(b, rows, lf)
-    idx = (
-        np.arange(nblk)[:, None] * rb + np.arange(rb_tot)[None, :] - hl
+    # gather ONLY the halo rows per block (~(hl+hr)/rb ≈ 3% of a pass);
+    # the body rows stream into the kernel as aligned BlockSpec blocks
+    # straight from xf. (The r4 version gathered body+halo into one
+    # overlapping (B, nblk, RB_tot, lf) array — ~2 extra full HBM
+    # passes per snake.)
+    halo_idx = np.concatenate(
+        [
+            np.arange(nblk)[:, None] * rb + np.arange(-hl, 0)[None, :],
+            np.arange(nblk)[:, None] * rb + rb + np.arange(hr)[None, :],
+        ],
+        axis=1,
     ).clip(0, rows - 1)
-    x_ov = jnp.take(xf, jnp.asarray(idx), axis=1)  # (B, nblk, RB, lf)
+    x_halo = jnp.take(xf, jnp.asarray(halo_idx), axis=1)
 
     af = jnp.tile(jnp.asarray(alpha, x.dtype), f).reshape(1, lf)
     bf = jnp.tile(jnp.asarray(inv_beta, x.dtype), f).reshape(1, lf)
@@ -425,7 +443,12 @@ def snake_antialias_fold(
         grid=(b, nblk),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, rb_tot, lf),
+                (1, rb, lf),
+                lambda bi, ni: (bi, ni, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, hl + hr, lf),
                 lambda bi, ni: (bi, ni, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -440,11 +463,11 @@ def snake_antialias_fold(
         ),
         out_shape=jax.ShapeDtypeStruct((b, rows, lf), x.dtype),
         interpret=interpret,
-    )(x_ov, af, bf).reshape(b, t, c)
+    )(xf, x_halo, af, bf).reshape(b, t, c)
 
     # exact edges: the kernel's clamped halo rows stand in for the
     # reference's interleave-aware clipping only approximately
-    n_edge = max(k + hl * f, 16)
+    n_edge = max(k + max(hl, hr) * f, 16)
     m = n_edge + 2 * k
     yl = snake_antialias_polyphase(x[:, :m], alpha, inv_beta, k)[:, :n_edge]
     yr = snake_antialias_polyphase(x[:, -m:], alpha, inv_beta, k)[:, -n_edge:]
