@@ -259,6 +259,8 @@ def _fold_factor(c: int):
     for lanes in (128, 256, 384, 512, 640, 768):
         if lanes % c == 0:
             return lanes // c
+    if c % 128 == 0:
+        return 1  # already whole registers (batch-lanes path, wide C)
     return None
 
 
@@ -397,12 +399,15 @@ def snake_antialias_fold(
     f = _fold_factor(c)
     assert f is not None and t % f == 0, (t, c)
     rows = t // f
-    for rb in (256, 128, 64, 32, 16, 8):
-        if rows % rb == 0 and rows >= rb:
+    lf = f * c
+    for rb in (512, 256, 128, 64, 32, 16, 8):
+        # VMEM-aware: in-block + halo + out-block, double-buffered by the
+        # grid pipeline, plus the kernel's f32 working set — keep the
+        # per-program block footprint well under the ~16 MB VMEM
+        if rows % rb == 0 and rows >= rb and rb * lf * 4 <= 1_500_000:
             break
     else:
-        raise ValueError(f"rows {rows} not tileable")
-    lf = f * c
+        raise ValueError(f"rows {rows} not tileable for lf {lf}")
     q2 = k // 2
     hl = max(1, -(-(q2 - 1) // f))
     hr = hl + -(-q2 // f) + 1
@@ -475,6 +480,58 @@ def snake_antialias_fold(
     return y
 
 
+def snake_antialias_fold_batchlanes(
+    x,
+    alpha,
+    inv_beta,
+    *,
+    kernel_size: int = 12,
+    interpret: bool = False,
+    fast_sin: bool | None = None,
+):
+    """Batch-in-lanes orientation of the fold kernel (r5).
+
+    The r5 generator profile showed ~2.4 ms {2,0,1}→{2,1,0} layout
+    copies on BOTH sides of every fold custom-call: XLA lays the
+    neighboring conv fusions out time-major with batch interleaved
+    (minor-to-major {C, B, T}), while the fold path needs row-major
+    (B, T, C) memory to fold time into lanes. But that producer layout
+    IS a (T, B·C) row-major array: one row per time sample, all batch
+    items × channels in the lanes (B·C = 384+ → full registers at every
+    stage). Viewing it that way, (1) the boundary transposes become
+    bitcasts, and (2) every FIR tap in the kernel is a pure ROW shift —
+    the f=1 case of `_snake_fold_kernel`, with no lane rolls at all.
+
+    Implemented as a pure re-orientation: transpose+reshape to
+    (1, T, B·C), tile alpha/inv_beta per batch item, and call
+    `snake_antialias_fold` (which picks f=1 since B·C ≡ 0 mod 128).
+    Identical math; the edge splice inside runs the polyphase form on
+    the same re-oriented array (per-channel math is unchanged).
+
+    **Measured: a NET LOSS (kept opt-in via snake_impl="foldb").**
+    Whole generator on v5e 2026-08-20 (roofline_bigvgan --variants
+    bf16_fold,bf16_foldb, interleaved): fold 887.6 ms / 261.8 GB
+    accessed vs foldb 1106.0 ms / 363.7 GB. XLA does NOT cancel the
+    explicit transposes against its {2,0,1} layout choice — the
+    custom-call pins {2,1,0} on the re-oriented operand and the
+    transposes materialize, costing more than the boundary copies they
+    were meant to remove. Eliminating those copies needs custom-call
+    operand-layout control, which pallas does not expose today."""
+    b, t, c = x.shape
+    xt = jnp.transpose(x, (1, 0, 2)).reshape(1, t, b * c)
+    al = jnp.tile(
+        jnp.broadcast_to(jnp.asarray(alpha, x.dtype), (c,)), b
+    )
+    ib = jnp.tile(
+        jnp.broadcast_to(jnp.asarray(inv_beta, x.dtype), (c,)), b
+    )
+    y = snake_antialias_fold(
+        xt, al, ib, kernel_size=kernel_size, interpret=interpret,
+        fast_sin=fast_sin,
+    )
+    return jnp.transpose(y.reshape(t, b, c), (1, 0, 2))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _snake_fold_op(x, alpha, inv_beta, kernel_size=12):
     return snake_antialias_fold(x, alpha, inv_beta, kernel_size=kernel_size)
@@ -488,6 +545,25 @@ def _snake_fold_fwd(x, alpha, inv_beta, kernel_size):
 
 
 _snake_fold_op.defvjp(_snake_fold_fwd, lambda k, res, g: _snake_bwd(k, res, g))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _snake_foldb_op(x, alpha, inv_beta, kernel_size=12):
+    return snake_antialias_fold_batchlanes(
+        x, alpha, inv_beta, kernel_size=kernel_size
+    )
+
+
+def _snake_foldb_fwd(x, alpha, inv_beta, kernel_size):
+    return (
+        _snake_foldb_op(x, alpha, inv_beta, kernel_size),
+        (x, alpha, inv_beta),
+    )
+
+
+_snake_foldb_op.defvjp(
+    _snake_foldb_fwd, lambda k, res, g: _snake_bwd(k, res, g)
+)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -562,6 +638,19 @@ def snake_antialias(
     on_tpu = jax.default_backend() == "tpu"
     if impl == "auto":
         impl = "fold" if x.dtype == jnp.bfloat16 else "polyphase"
+    if impl == "foldb":
+        # batch-in-lanes fold: needs B·C ≡ 0 mod 128 rows of full lanes
+        b_, t_, c_ = x.shape
+        if on_tpu and (b_ * c_) % 128 == 0 and _fold_ok(t_, b_ * c_,
+                                                        kernel_size):
+            alpha = jnp.broadcast_to(
+                jnp.asarray(alpha, x.dtype), (c_,)
+            )
+            inv_beta = jnp.broadcast_to(
+                jnp.asarray(inv_beta, x.dtype), (c_,)
+            )
+            return _snake_foldb_op(x, alpha, inv_beta, kernel_size)
+        impl = "fold"  # fall through to the standard fold / polyphase
     if impl == "fold" and on_tpu and _fold_ok(
         x.shape[1], x.shape[2], kernel_size
     ):

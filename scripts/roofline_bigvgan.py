@@ -52,6 +52,11 @@ VARIANTS = {
         num_mels=80, dtype="bfloat16", conv_impl="packed"
     ),
     "f32_packed": BigVGANConfig(num_mels=80, conv_impl="packed"),
+    # r5: batch-in-lanes fold — (T, B·C) rows, pure row-shift FIR taps,
+    # boundary transposes cancel with XLA's {2,0,1} conv layouts
+    "bf16_foldb": BigVGANConfig(
+        num_mels=80, dtype="bfloat16", snake_impl="foldb"
+    ),
 }
 
 

@@ -261,3 +261,26 @@ def test_sin2_fast_polynomial_accuracy():
         np.float32,
     )
     assert np.abs(fast - exact).max() < 0.05  # bf16 storage rounding
+
+
+def test_fold_batchlanes_matches_polyphase():
+    """r5 opt-in batch-in-lanes fold orientation (snake_impl="foldb"):
+    exact math vs polyphase (measured a whole-generator LOSS on v5e —
+    see ops/snake.py docstring — but the lowering must stay correct)."""
+    from dex_tts_tpu.ops.snake import (
+        snake_antialias_fold_batchlanes,
+        snake_antialias_polyphase,
+    )
+
+    rng = np.random.default_rng(9)
+    for b, t, c in [(16, 512, 24), (8, 256, 16)]:
+        x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+        al = jnp.asarray(rng.standard_normal((c,)) * 0.3, jnp.float32)
+        ib = jnp.asarray(rng.standard_normal((c,)) * 0.3, jnp.float32)
+        ref = np.asarray(snake_antialias_polyphase(x, al, ib))
+        got = np.asarray(
+            snake_antialias_fold_batchlanes(
+                x, al, ib, interpret=True, fast_sin=False
+            )
+        )
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
