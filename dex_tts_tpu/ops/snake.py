@@ -283,6 +283,9 @@ _SIN2_COEF = (
 # bf16 storage), True/False force. See set_snake_fast_sin.
 _FAST_SIN_OVERRIDE: bool | None = None
 
+# fold-kernel row-block candidates, largest first (trace-time A/B knob)
+_RB_CANDIDATES: tuple = (256, 128, 64, 32, 16, 8)
+
 
 def set_snake_fast_sin(value: bool | None) -> None:
     """Force (True/False) or restore auto (None) the polynomial sin² in
@@ -400,7 +403,7 @@ def snake_antialias_fold(
     assert f is not None and t % f == 0, (t, c)
     rows = t // f
     lf = f * c
-    for rb in (512, 256, 128, 64, 32, 16, 8):
+    for rb in _RB_CANDIDATES:
         # VMEM-aware: in-block + halo + out-block, double-buffered by the
         # grid pipeline, plus the kernel's f32 working set — keep the
         # per-program block footprint well under the ~16 MB VMEM
