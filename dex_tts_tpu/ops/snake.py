@@ -368,11 +368,16 @@ def _snake_fold_kernel(
 
     # y[t] = Σ_a ge[a]·s1[t+a-k/4] + go[a]·s0[t+a-k/4+1]; with the S
     # alignments above both terms land at the same local offset.
+    # Horner form (r5): 2 base shifts + (q2-1) accumulator shifts = 7
+    # whole-block tshifts instead of the naive 2·q2 = 12 — the kernel is
+    # VPU-bound and tshifts are its dominant op. Same sums, reassociated
+    # (float-tolerance identical; covered by the f64-oracle receipt).
     base = hl * f - (q2 - 1)
-    y = None
-    for a in range(q2):
-        term = ge[a] * tshift(s1, base + a) + go[a] * tshift(s0, base + a)
-        y = term if y is None else y + term
+    s1b = tshift(s1, base)
+    s0b = tshift(s0, base)
+    y = ge[q2 - 1] * s1b + go[q2 - 1] * s0b
+    for a in range(q2 - 2, -1, -1):
+        y = tshift(y, 1) + ge[a] * s1b + go[a] * s0b
     o_ref[0] = y[:rb].astype(out_dtype)
 
 
