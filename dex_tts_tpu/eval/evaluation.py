@@ -205,11 +205,41 @@ def _val_dataset(cfg):
     )
 
 
+def _synthetic_init_batch(cfg):
+    """Dataset-free init batch: `model.init` only needs shapes/dtypes,
+    so a missing filelist must not block `synthesize.py`/`serve.py`
+    (the reference CLI needs no dataset either —
+    reference: DEX-TTS/synthesize.py:64-113)."""
+    n_feats = int(cfg.model.n_feats)
+    batch = {
+        "x": np.ones((1, 9), np.int32),
+        "x_lengths": np.asarray([9], np.int32),
+        "y": np.zeros((1, n_feats, 64), np.float32),
+        "y_lengths": np.asarray([64], np.int32),
+    }
+    if cfg.get("model_family", "dex") == "dex":
+        batch.update(
+            ref=np.zeros((1, n_feats, 64), np.float32),
+            ref_lengths=np.asarray([64], np.int32),
+            sty=np.zeros((1, n_feats, 64), np.float32),
+            sty_lengths=np.asarray([64], np.int32),
+            lf0=np.zeros((1, 64), np.float32),
+            lf0_lengths=np.asarray([64], np.int32),
+        )
+    return batch
+
+
 def build_init_batch(cfg, ds=None):
     """Batch-of-1 init batch (first val item) for tracing `model.init` —
     shared by load_synthesizer and the export CLI; only shapes/dtypes
-    matter."""
-    ds = _val_dataset(cfg) if ds is None else ds
+    matter. Falls back to a synthetic batch when the config's val
+    filelist is absent (synthesize/serve must not require a prepared
+    dataset)."""
+    if ds is None:
+        try:
+            ds = _val_dataset(cfg)
+        except (FileNotFoundError, OSError):
+            return _synthetic_init_batch(cfg)
     item = ds[0]
     batch = {
         "x": item["x"][None],
@@ -244,7 +274,10 @@ def load_synthesizer(cfg, exp_dir: str, n_timesteps: int = 50, tag: str = "best-
     if solver != "euler" and dit_cache_interval > 1:
         raise ValueError("dit_cache_interval>1 requires the euler solver")
     model = build_model(cfg)
-    ds = _val_dataset(cfg)
+    try:
+        ds = _val_dataset(cfg)
+    except (FileNotFoundError, OSError):
+        ds = None  # dataset-free synth/serve: synthetic init batch
     batch = build_init_batch(cfg, ds)
     use_ema = bool(cfg.get("test", {}).get("ema", False))
     torch_ckpt = (
@@ -278,7 +311,18 @@ def load_synthesizer(cfg, exp_dir: str, n_timesteps: int = 50, tag: str = "best-
     else:
         state, _ = create_train_state(model, batch)
         mgr = CheckpointManager(os.path.join(exp_dir, "ckpt"))
-        state = mgr.restore(state, tag)
+        if mgr.exists(tag):
+            state = mgr.restore(state, tag)
+        else:
+            # loud, not fatal: random-init synthesis is the documented
+            # smoke path (finite-audio check without any checkpoint)
+            import warnings
+
+            warnings.warn(
+                f"no checkpoint {tag!r} under {exp_dir}/ckpt and no torch "
+                ".pth found — synthesizing with RANDOM-INIT weights "
+                "(smoke/debug only; output is noise)"
+            )
         variables = {
             "params": state.ema_params if use_ema else state.params,
             "batch_stats": state.batch_stats,
@@ -340,6 +384,13 @@ def run_objective_eval(
             sentences = [line.strip() for line in f if line.strip()]
         items = [{"raw_text": s} for s in sentences[:sample_size]]
     else:
+        if ds is None:
+            raise FileNotFoundError(
+                f"objective eval needs the val filelist "
+                f"({cfg.path.val_path}); synthesize/serve run without a "
+                "dataset, but `main.py test` scores against real items — "
+                "or pass --test_file for text-only synthesis"
+            )
         items = [ds.eval_item(i) for i in range(min(sample_size, len(ds)))]
 
     key = jax.random.PRNGKey(seed)

@@ -197,3 +197,36 @@ def test_mfu_extrapolated_scan_flops():
     expected = (1 + steps) * matmul_flops  # A + steps·B
     assert total is not None
     assert abs(total - expected) < 0.05 * expected
+
+
+def test_build_init_batch_dataset_free_fallback():
+    """r5: synthesize.py/serve.py must not require a prepared dataset —
+    when the config's val filelist is absent, build_init_batch falls
+    back to a synthetic shapes-only batch (the reference CLI needs no
+    dataset either, DEX-TTS/synthesize.py:64-113); objective eval still
+    demands real items and says so."""
+    import numpy as np
+    import pytest
+
+    from dex_tts_tpu.eval.evaluation import build_init_batch
+    from dex_tts_tpu.utils import Config
+
+    cfg = Config({
+        "model_family": "gedex",
+        "path": {"val_path": "/nonexistent/valid.txt"},
+        "model": {"n_feats": 80},
+    })
+    batch = build_init_batch(cfg)
+    assert batch["x"].dtype == np.int32
+    assert batch["y"].shape == (1, 80, 64)
+    assert "ref" not in batch
+
+    cfg_dex = Config({
+        "model_family": "dex",
+        "path": {"val_path": "/nonexistent/valid.txt"},
+        "model": {"n_feats": 80},
+    })
+    b2 = build_init_batch(cfg_dex)
+    for key in ("ref", "sty", "lf0"):
+        assert key in b2, key
+    assert b2["lf0"].shape == (1, 64)
