@@ -49,7 +49,16 @@ import jax.numpy as jnp
 
 def pick_pack(c: int, t: int, lanes: int = 128) -> int:
     """Smallest power-of-two f with f·C ≥ lanes that divides T; 1 when
-    C already fills the lanes (or nothing divides)."""
+    C already fills the lanes (or nothing divides).
+
+    lanes=384 was also tried (r5): it matches the fold snake's canonical
+    width at every BigVGAN stage, hoping the packed conv would share the
+    snakes' folded layout and turn the boundary reshapes into views.
+    Measured: still a whole-generator loss (bf16 fold 861.8 ms vs
+    fold+packed@384 1019.1 — better than 1370 at lanes=128, but the
+    wider block-Toeplitz kernel adds real MXU time, t_flops 112→183 ms,
+    and extra bytes remain 263→332 GB). 128 stays the default (the
+    isolated-op-optimal configuration)."""
     if c >= lanes:
         return 1
     f = 1
