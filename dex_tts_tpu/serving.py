@@ -38,6 +38,7 @@ Run via the `serve.py` CLI.
 from __future__ import annotations
 
 import base64
+import itertools
 import json
 import queue
 import threading
@@ -85,19 +86,28 @@ class MicroBatcher:
         # (each its own compiled-bucket dispatch). 0 disables.
         self.split_length_ratio = split_length_ratio
         self.batch_sizes: list[int] = []  # observability / tests
-        self._q: queue.Queue = queue.Queue()
+        # priority queue: urgent entries (prio 0 — a stream's FIRST wave,
+        # whose latency IS the time-to-first-audio) jump the normal
+        # backlog (prio 1); a monotone sequence number keeps FIFO order
+        # within each class and breaks ties without comparing futures.
+        # Receipt motivating this: the r5 BigVGAN load test showed TTFA
+        # collapsing 581 ms → 4.4 s at 16 concurrent streams purely from
+        # queue wait behind bulk waves (BENCH_SWEEP r5).
+        self._q: queue.PriorityQueue = queue.PriorityQueue()
+        self._seq = itertools.count()
         self._stop = threading.Event()
         self._submit_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
-    def submit(self, text: str) -> Future:
+    def submit(self, text: str, urgent: bool = False) -> Future:
         """Enqueue one sentence. After close() the future fails fast
         instead of dangling for the full client timeout (the lock closes
         the check-then-enqueue race against close()). Raises QueueFull
         when the bounded queue is at capacity (the lock also serializes
         the depth check against concurrent submitters; the worker only
-        ever shrinks the queue)."""
+        ever shrinks the queue). ``urgent=True`` (a stream's first wave)
+        jumps the normal backlog — see the queue comment in __init__."""
         fut: Future = Future()
         with self._submit_lock:
             if self._stop.is_set():
@@ -108,7 +118,7 @@ class MicroBatcher:
                 raise QueueFull(
                     f"queue full ({self.max_queue} pending requests)"
                 )
-            self._q.put((text, fut))
+            self._q.put((0 if urgent else 1, next(self._seq), text, fut))
         return fut
 
     def queue_depth(self) -> int:
@@ -125,16 +135,16 @@ class MicroBatcher:
         """
         with self._submit_lock:
             self._stop.set()
-        self._q.put(None)  # wake the worker
+        self._q.put((-1, next(self._seq), None, None))  # wake the worker
         self._worker.join(timeout=5)
         while True:
             try:
                 item = self._q.get_nowait()
             except queue.Empty:
                 break
-            if item is None:
+            if item[2] is None:
                 continue
-            _, fut = item
+            fut = item[3]
             if not fut.done():
                 fut.set_exception(RuntimeError("server shutting down"))
 
@@ -142,9 +152,9 @@ class MicroBatcher:
         """Block for the first request, then linger up to max_wait_s for
         more (or until max_batch)."""
         first = self._q.get()
-        if first is None:
+        if first[2] is None:
             return []
-        batch = [first]
+        batch = [(first[2], first[3])]
         deadline = time.monotonic() + self.max_wait_s
         while len(batch) < self.max_batch:
             remaining = deadline - time.monotonic()
@@ -154,9 +164,9 @@ class MicroBatcher:
                 item = self._q.get(timeout=remaining)
             except queue.Empty:
                 break
-            if item is None:
+            if item[2] is None:
                 break
-            batch.append(item)
+            batch.append((item[2], item[3]))
         return batch
 
     def _split_by_length(self, batch: list) -> list[list]:
@@ -226,7 +236,9 @@ class MicroBatcher:
                     fut.set_exception(e)
 
 
-def _submit_all(batcher: MicroBatcher, texts: list) -> list:
+def _submit_all(
+    batcher: MicroBatcher, texts: list, urgent: bool = False
+) -> list:
     """Submit every sentence or none: on QueueFull mid-loop, cancel the
     already-submitted futures (honored for still-queued items, see
     MicroBatcher._serve_group) so a rejected request leaves no orphaned
@@ -234,7 +246,7 @@ def _submit_all(batcher: MicroBatcher, texts: list) -> list:
     futs: list[Future] = []
     try:
         for t in texts:
-            futs.append(batcher.submit(t))
+            futs.append(batcher.submit(t, urgent=urgent))
     except QueueFull:
         for f in futs:
             f.cancel()
@@ -464,8 +476,12 @@ def make_server(
             # 503 the client can retry
             t0 = time.monotonic()
             try:
+                # first wave = the stream's time-to-first-audio: jump the
+                # bulk backlog (r5 receipt: TTFA 581 ms -> 4.4 s at 16
+                # concurrent streams from queue wait alone)
                 futs = _submit_all(
-                    batcher, sentences[waves[0][0] : waves[0][1]]
+                    batcher, sentences[waves[0][0] : waves[0][1]],
+                    urgent=True,
                 )
             except QueueFull as e:
                 return self._reject_overload(e)
