@@ -578,18 +578,27 @@ def test_http_overload_503_with_retry_after():
         results.append(_post(port, {"texts": [f"s{i}"]}, timeout=30))
 
     try:
+        # deterministic saturation (r5 de-flake): occupy the worker with a
+        # directly-submitted sentence FIRST — the old version started all
+        # 3 clients at once and depended on the worker dequeuing client 1
+        # before client 3 submitted, which lost the race under a loaded
+        # host (full-suite run 2026-08-20) and turned one flood client
+        # into a 503 the tail assertions don't expect.
+        warm = b.submit("warm0")
+        deadline = time.monotonic() + 5
+        while (
+            not (b.batch_sizes and b.queue_depth() == 0)
+            and time.monotonic() < deadline
+        ):
+            time.sleep(0.005)
+        assert b.batch_sizes and b.queue_depth() == 0  # worker holds warm0
         clients = [
-            threading.Thread(target=client, args=(i,)) for i in range(3)
+            threading.Thread(target=client, args=(i,)) for i in range(2)
         ]
         for c in clients:
             c.start()
-        # wait until capacity is saturated: worker blocked on one sentence
-        # (batch_sizes appended before infer runs) + 2 queued
         deadline = time.monotonic() + 5
-        while (
-            not (b.batch_sizes and b.queue_depth() >= 2)
-            and time.monotonic() < deadline
-        ):
+        while b.queue_depth() < 2 and time.monotonic() < deadline:
             time.sleep(0.005)
         assert b.queue_depth() >= 2
         req = urllib.request.Request(
@@ -610,9 +619,10 @@ def test_http_overload_503_with_retry_after():
         assert health["max_queue"] == 2
 
         gate.set()
+        assert warm.result(timeout=30)["text"] == "warm0"
         for c in clients:
             c.join(timeout=30)
-        assert [code for code, _ in results] == [200, 200, 200]
+        assert [code for code, _ in results] == [200, 200]
         # drained: queue empty again (sentinel-free steady state)
         deadline = time.monotonic() + 5
         while b.queue_depth() > 0 and time.monotonic() < deadline:
